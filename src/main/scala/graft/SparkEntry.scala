@@ -1,13 +1,650 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Tokenizers
+import graft.operators.{Aggs, Dedup, Similarity, TextAnalysis}
+import graft.parse.{DateTimeParse, DocParser}
+import graft.queryast.{FieldResolver, UserQueryParser}
+import graft.route.Routing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with an ANSI-SQL oracle for the DuckDB compare.
+  * Column names/aliases are kept identical on both sides (the driver hashes
+  * values under sorted column names).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // transcripts: the BASELINE input shape (conv_id, turn_idx, role, text,
+  // tool, ts), derived DETERMINISTICALLY from the driver's `events` table so
+  // the DuckDB oracle can mirror the derivation 1:1. ~2% null-text rows
+  // (event_id % 50 = 0) exercise the dead-letter path; `-> ERR` status on
+  // event_id % 7 = 0 exercises per-tool error routing.
+  // ---------------------------------------------------------------------
+  def transcripts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("conv_id", concat(lit("conv"), col("user_id").cast("string")))
+      .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
+      .withColumn("role",
+        when(col("event_type") === "signup", "system")
+          .when(col("event_type") === "error", "tool")
+          .when(col("event_type") === "purchase", "assistant")
+          .otherwise("user"))
+      .withColumn("tool",
+        when(col("event_type").isin("purchase", "view", "click"), col("event_type")))
+      .withColumn("text",
+        when(pmod(col("event_id"), lit(50)) === 0, lit(null).cast("string"))
+          .when(col("event_type") === "error",
+            concat(lit("ERROR["), (lit(100) + pmod(col("event_id"), lit(900))).cast("string"),
+              lit("]: event failed CALL logger(k="), pmod(col("event_id"), lit(100)).cast("string"),
+              lit(") -> ERR")))
+          .otherwise(
+            concat(lit("INFO CALL "), col("event_type"),
+              lit("(k="), pmod(col("event_id"), lit(100)).cast("string"), lit(") -> "),
+              when(pmod(col("event_id"), lit(7)) === 0, "ERR").otherwise("OK"))))
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  /** SQL mirror of `transcripts` for the DuckDB oracle. */
+  val TranscriptsCte: String =
+    """WITH transcripts AS (
+      |  SELECT 'conv' || CAST(user_id AS VARCHAR) AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+      |         CASE WHEN event_type='signup' THEN 'system'
+      |              WHEN event_type='error' THEN 'tool'
+      |              WHEN event_type='purchase' THEN 'assistant'
+      |              ELSE 'user' END AS role,
+      |         CASE WHEN event_id % 50 = 0 THEN NULL
+      |              WHEN event_type='error' THEN 'ERROR[' || CAST(100 + event_id % 900 AS VARCHAR) || ']: event failed CALL logger(k=' || CAST(event_id % 100 AS VARCHAR) || ') -> ERR'
+      |              ELSE 'INFO CALL ' || event_type || '(k=' || CAST(event_id % 100 AS VARCHAR) || ') -> ' || CASE WHEN event_id % 7 = 0 THEN 'ERR' ELSE 'OK' END
+      |         END AS text,
+      |         CASE WHEN event_type IN ('purchase','view','click') THEN event_type END AS tool,
+      |         ts
+      |  FROM events)
+      |""".stripMargin
+
+  /** tool → sink routing dimension (broadcast enrichment). */
+  private def sinkDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("purchase", "sink_commerce"), ("view", "sink_web"),
+        ("click", "sink_web"), ("logger", "sink_errors"))
+      .toDF("eff_tool", "sink")
+  }
+  private val SinkDimSql =
+    "(VALUES ('purchase','sink_commerce'),('view','sink_web'),('click','sink_web'),('logger','sink_errors')) AS dim(eff_tool, sink)"
+
+  private val docResolver = FieldResolver(textFields = Set("text"), defaultFields = Seq("text"))
+
+  /** Flagship: per-tool error counts routed to sinks, on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pipeRouteAgg(spark, "/root/testdata/sf0.001")
+
+  private def parsedTranscripts(s: SparkSession, dir: String): DataFrame =
+    DocParser.withParsedColumns(transcripts(s, dir).filter(col("text").isNotNull))
+
+  private def pipeRouteAgg(s: SparkSession, dir: String): DataFrame = {
+    val parsed = parsedTranscripts(s, dir)
+      .withColumn("eff_tool", coalesce(col("tool"), col("called_tool")))
+    parsed
+      .join(broadcast(sinkDim(s)), Seq("eff_tool"), "left")
+      .filter(col("call_status") === "ERR" || col("severity") === "ERROR")
+      .groupBy(coalesce(col("sink"), lit("sink_unrouted")).as("sink"))
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("sink")
+  }
+
+  // =======================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- sources / scans / sinks -------------------------------------
+    "s_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // ---- parse (doc mapper) ------------------------------------------
+    "pipe_parse" -> ((s, d) =>
+      parsedTranscripts(s, d)
+        .select(col("conv_id"), col("turn_idx"), col("called_tool"),
+                col("call_status"), col("error_code"), col("severity"))),
+
+    "pipe_doc_counters" -> ((s, d) => {
+      val tr = transcripts(s, d)
+      tr.agg(
+        sum(when(col("text").isNotNull, 1L).otherwise(0L)).as("num_valid_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("num_doc_parsing_errors"),
+        sum(coalesce(octet_length(col("text")).cast("long"), lit(0L))).as("num_bytes_total"))
+    }),
+
+    "pipe_dead_letter" -> ((s, d) =>
+      transcripts(s, d).filter(col("text").isNull)
+        .select("conv_id", "turn_idx", "role")),
+
+    "p_datetime_infer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("epoch", floor(col("value") * 1e8).cast("long"))
+      ev.select(col("event_id"),
+        DateTimeParse.inferredUnit(col("epoch")).as("unit"),
+        DateTimeParse.inferUnitTimestamp(col("epoch")).as("inferred_ts"))
+    }),
+
+    // ---- route / partition -------------------------------------------
+    "pipe_route_agg" -> ((s, d) => pipeRouteAgg(s, d)),
+
+    "pipe_routed_rows" -> ((s, d) => {
+      val parsed = parsedTranscripts(s, d)
+        .withColumn("eff_tool", coalesce(col("tool"), col("called_tool")))
+      parsed.join(broadcast(sinkDim(s)), Seq("eff_tool"), "left")
+        .filter(col("call_status") === "ERR" || col("severity") === "ERROR")
+        .select(coalesce(col("sink"), lit("sink_unrouted")).as("sink"),
+                col("conv_id"), col("turn_idx"))
+    }),
+
+    "r_route_counts" -> ((s, d) => {
+      // hash routing (xxhash64-based — not SQL-mirrorable; rows-only check).
+      val routed = Routing.withPartitionId(
+        transcripts(s, d), Routing.parse("hash_mod((tool,conv_id), 32)"), maxPartitions = 16)
+      routed.groupBy("partition_id").agg(count(lit(1)).as("n")).orderBy("partition_id")
+    }),
+
+    "pipe_rollup" -> ((s, d) => {
+      val tr = transcripts(s, d).filter(col("text").isNotNull)
+      val parsed = DocParser.withParsedColumns(tr)
+      parsed.groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+             sum(when(col("call_status") === "ERR" || col("severity") === "ERROR", 1L)
+               .otherwise(0L)).as("n_errors"),
+             array_join(transform(sort_array(collect_list(struct(col("turn_idx"), col("text")))),
+               x => x.getField("text")), "\n").as("rollup_text"),
+             min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    }),
+
+    "pipe_split_stats" -> ((s, d) => {
+      val tr = transcripts(s, d).filter(col("text").isNotNull)
+        .withColumn("partition_id", substring(col("conv_id"), 5, 20).cast("long") % 8)
+      val docStats = tr.groupBy("partition_id")
+        .agg(count(lit(1)).as("num_docs"),
+             sum(octet_length(col("text")).cast("long")).as("uncompressed_bytes"),
+             min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      val termStats = tr.select(col("partition_id"),
+          explode(Tokenizers.default(col("text"))).as("term"))
+        .groupBy("partition_id")
+        .agg(countDistinct(col("term")).as("term_cardinality"),
+             count(lit(1)).as("postings_count"))
+      docStats.join(termStats, Seq("partition_id")).orderBy("partition_id")
+    }),
+
+    // ---- filters / query AST ------------------------------------------
+    "f_term" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "error")
+        .select("event_id", "user_id", "value")),
+
+    "f_termset" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type").isin("signup", "click"))
+        .select("event_id", "event_type")),
+
+    "f_bool" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      val q = Bool(
+        must = Seq(Term("event_type", "error"), Range("value", gte = Some(50.0))),
+        mustNot = Seq(Term("user_id_str", "3")))
+      t(s, d, "events")
+        .withColumn("user_id_str", col("user_id").cast("string"))
+        .filter(q.toColumn(FieldResolver(Set.empty, Seq.empty)))
+        .select("event_id", "user_id", "value")
+    }),
+
+    "f_range_ts" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+                col("ts") < lit("2024-01-20").cast("timestamp"))
+        .select("event_id", "ts")),
+
+    "f_exists" -> ((s, d) =>
+      transcripts(s, d).filter(col("tool").isNotNull)
+        .select("conv_id", "turn_idx", "tool")),
+
+    "f_wildcard" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      t(s, d, "documents")
+        .filter(Wildcard("source", "src1*").toColumn(docResolver))
+        .select("doc_id", "source")
+    }),
+
+    "f_fulltext_and" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      t(s, d, "documents")
+        .filter(FullText("text", "spark vector", ModeAnd).toColumn(docResolver))
+        .select("doc_id", "lang")
+    }),
+
+    "f_phrase" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      t(s, d, "documents")
+        .filter(FullText("text", "batch batch", ModePhrase(0)).toColumn(docResolver))
+        .select("doc_id")
+    }),
+
+    "f_phrase_slop" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      t(s, d, "documents")
+        .filter(FullText("text", "spark join", ModePhrase(1)).toColumn(docResolver))
+        .select("doc_id")
+    }),
+
+    "f_querylang" -> ((s, d) => {
+      val q = UserQueryParser.parse("lang:de AND (text:spark OR text:vector) AND NOT source:src3", Seq("text"))
+      t(s, d, "documents").filter(q.toColumn(docResolver)).select("doc_id", "lang", "source")
+    }),
+
+    // ---- aggregations ---------------------------------------------------
+    "a_terms" -> ((s, d) =>
+      Aggs.terms(t(s, d, "events"), col("event_type"), size = 3)),
+
+    "a_histogram" -> ((s, d) =>
+      Aggs.histogram(t(s, d, "events"), col("value"), interval = 50.0)
+        .withColumn("key", col("key").cast("double"))),
+
+    "a_date_histogram" -> ((s, d) =>
+      Aggs.dateHistogram(t(s, d, "events"), col("ts"), "1d")),
+
+    "a_range" -> ((s, d) =>
+      Aggs.rangeAgg(t(s, d, "events"), col("value"),
+        Seq((None, Some(50.0)), (Some(50.0), Some(150.0)), (Some(150.0), None)))),
+
+    "a_stats" -> ((s, d) =>
+      Aggs.stats(t(s, d, "events"), Seq(col("event_type")), col("value"))
+        .withColumn("sum", round(col("sum"), 4))
+        .withColumn("avg", round(col("avg"), 4))
+        .withColumn("min", round(col("min"), 4))
+        .withColumn("max", round(col("max"), 4))),
+
+    "a_percentiles" -> ((s, d) =>
+      t(s, d, "events").agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"))),
+
+    "a_cardinality" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("user_cardinality"))
+        .orderBy("event_type")),
+
+    "a_sub_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
+        .agg(count(lit(1)).as("doc_count"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("month", "event_type")),
+
+    "a_top_by_max_ts" -> ((s, d) =>
+      Aggs.topGroupsByMaxTs(t(s, d, "events").withColumn("key0", col("user_id")),
+        col("key0"), col("ts"), 5)),
+
+    "a_count_meta" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("total"))),
+
+    // ---- sort / limit / pagination --------------------------------------
+    "k_topk" -> ((s, d) =>
+      t(s, d, "events").orderBy(desc("value"), asc("event_id"))
+        .select("event_id", "value").limit(10)),
+
+    "k_search_after" -> ((s, d) =>
+      Aggs.searchAfter(t(s, d, "events").select("event_id", "value"),
+        col("value"), col("event_id"), 150.0, 500L, 10)),
+
+    "k_offset" -> ((s, d) =>
+      Aggs.paginate(t(s, d, "events").select("event_id", "value"),
+        Seq(col("event_id").asc), offset = 20, k = 10)),
+
+    // ---- tokenizers ------------------------------------------------------
+    "t_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Tokenizers.default(col("text"))).as("token"))),
+
+    "t_term_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Tokenizers.default(col("text"))).as("token"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("token")).as("term_cardinality"),
+             count(lit(1)).as("postings_count"))),
+
+    "t_list_terms" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(Tokenizers.default(col("text"))).as("token"))
+        .filter(col("token") >= "p" && col("token") < "t")
+        .distinct().orderBy("token").limit(20)),
+
+    // ---- joins / enrichment / union -------------------------------------
+    "j_enrich" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+        .orderBy("r_name")),
+
+    "j_union_multi_index" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "error")
+        .unionByName(ev.filter(col("event_type") === "signup"))
+        .groupBy("event_type").agg(count(lit(1)).as("doc_count"))
+        .orderBy("event_type")
+    }),
+
+    // ---- dedup -----------------------------------------------------------
+    "d_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    "d_token_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").withColumn("tokens", array_distinct(Tokenizers.default(col("text")))),
+        col("doc_id"), col("tokens"), struct(col("lang"), col("source")), n = 1, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("doc_id1", "doc_id2")),
+
+    "d_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleK = 5, numHashes = 32, bands = 8, threshold = 0.7)
+        .orderBy("doc_id1", "doc_id2")),
+
+    "d_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(
+        t(s, d, "documents").withColumn("tokens", Tokenizers.default(col("text"))),
+        col("doc_id"), col("tokens"), maxHamming = 3)
+        .orderBy("doc_id1", "doc_id2")),
+
+    // ---- similarity search ----------------------------------------------
+    "sim_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(corpus, queries, k = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(corpus, queries, k = 3, bits = 8, tables = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "x_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(Tokenizers.default(col("text"))).cast("long").as("n_tokens"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+              length(col("text")), 4).as("digit_ratio"))),
+
+    "x_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"))),
+
+    "x_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")),
+
+    "x_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+  )
+
+  // =======================================================================
+  def oracleSql: Map[String, String] = Map(
+    "s_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05""".stripMargin,
+
+    "pipe_parse" -> (TranscriptsCte +
+      """SELECT conv_id, turn_idx,
+        |  NULLIF(regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 1), '') AS called_tool,
+        |  NULLIF(regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 3), '') AS call_status,
+        |  CASE WHEN regexp_extract(text, 'ERROR\[([0-9]{3})\]: (.*)', 1) = '' THEN -1
+        |       ELSE CAST(regexp_extract(text, 'ERROR\[([0-9]{3})\]: (.*)', 1) AS INT) END AS error_code,
+        |  CASE WHEN regexp_extract(text, '^(INFO|WARN|ERROR)\b', 1) = '' THEN 'INFO'
+        |       ELSE regexp_extract(text, '^(INFO|WARN|ERROR)\b', 1) END AS severity
+        |FROM transcripts WHERE text IS NOT NULL""".stripMargin),
+
+    "pipe_doc_counters" -> (TranscriptsCte +
+      """SELECT CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_valid_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_doc_parsing_errors,
+        |  CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS num_bytes_total
+        |FROM transcripts""".stripMargin),
+
+    "pipe_dead_letter" -> (TranscriptsCte +
+      "SELECT conv_id, turn_idx, role FROM transcripts WHERE text IS NULL"),
+
+    "p_datetime_infer" ->
+      """SELECT event_id,
+        |  CASE WHEN abs(e) < 17987443200 THEN 'secs'
+        |       WHEN abs(e) < 17987443200000 THEN 'millis'
+        |       WHEN abs(e) < 17987443200000000 THEN 'micros' ELSE 'nanos' END AS unit,
+        |  make_timestamp(CASE WHEN abs(e) < 17987443200 THEN e * 1000000
+        |       WHEN abs(e) < 17987443200000 THEN e * 1000
+        |       WHEN abs(e) < 17987443200000000 THEN e ELSE CAST(e / 1000 AS BIGINT) END) AS inferred_ts
+        |FROM (SELECT event_id, CAST(floor(value * 1e8) AS BIGINT) AS e FROM events)""".stripMargin,
+
+    "pipe_route_agg" -> (TranscriptsCte +
+      """, parsed AS (
+        |  SELECT conv_id, turn_idx,
+        |    coalesce(tool, NULLIF(regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 1), '')) AS eff_tool,
+        |    NULLIF(regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 3), '') AS call_status,
+        |    (text LIKE 'ERROR%') AS is_err_sev
+        |  FROM transcripts WHERE text IS NOT NULL)
+        |SELECT coalesce(dim.sink, 'sink_unrouted') AS sink, CAST(count(*) AS BIGINT) AS n_errors
+        |FROM parsed LEFT JOIN (VALUES ('purchase','sink_commerce'),('view','sink_web'),('click','sink_web'),('logger','sink_errors')) AS dim(eff_tool, sink)
+        |  ON parsed.eff_tool = dim.eff_tool
+        |WHERE call_status = 'ERR' OR is_err_sev
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "pipe_routed_rows" -> (TranscriptsCte +
+      """, parsed AS (
+        |  SELECT conv_id, turn_idx,
+        |    coalesce(tool, NULLIF(regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 1), '')) AS eff_tool,
+        |    NULLIF(regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 3), '') AS call_status,
+        |    (text LIKE 'ERROR%') AS is_err_sev
+        |  FROM transcripts WHERE text IS NOT NULL)
+        |SELECT coalesce(dim.sink, 'sink_unrouted') AS sink, conv_id, turn_idx
+        |FROM parsed LEFT JOIN (VALUES ('purchase','sink_commerce'),('view','sink_web'),('click','sink_web'),('logger','sink_errors')) AS dim(eff_tool, sink)
+        |  ON parsed.eff_tool = dim.eff_tool
+        |WHERE call_status = 'ERR' OR is_err_sev""".stripMargin),
+
+    "pipe_rollup" -> (TranscriptsCte +
+      """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 3) = 'ERR'
+        |                  OR text LIKE 'ERROR%' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  string_agg(text, chr(10) ORDER BY turn_idx) AS rollup_text,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM transcripts WHERE text IS NOT NULL GROUP BY conv_id""".stripMargin),
+
+    "pipe_split_stats" -> (TranscriptsCte +
+      """, tr AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 8 AS partition_id
+        |          FROM transcripts WHERE text IS NOT NULL),
+        |toks AS (SELECT partition_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM tr),
+        |ts_agg AS (SELECT partition_id, CAST(count(DISTINCT term) AS BIGINT) AS term_cardinality,
+        |                  CAST(count(*) AS BIGINT) AS postings_count
+        |           FROM toks WHERE term <> '' GROUP BY 1)
+        |SELECT tr.partition_id, CAST(count(*) AS BIGINT) AS num_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS uncompressed_bytes,
+        |  min(ts) AS min_ts, max(ts) AS max_ts,
+        |  any_value(ts_agg.term_cardinality) AS term_cardinality,
+        |  any_value(ts_agg.postings_count) AS postings_count
+        |FROM tr JOIN ts_agg ON tr.partition_id = ts_agg.partition_id
+        |GROUP BY tr.partition_id ORDER BY tr.partition_id""".stripMargin),
+
+    "f_term" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'error'",
+
+    "f_termset" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup','click')",
+
+    "f_bool" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'error' AND value >= 50.0 AND NOT CAST(user_id AS VARCHAR) = '3'""".stripMargin,
+
+    "f_range_ts" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'""".stripMargin,
+
+    "f_exists" -> (TranscriptsCte +
+      "SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL"),
+
+    "f_wildcard" ->
+      "SELECT doc_id, source FROM documents WHERE lower(source) LIKE 'src1%'",
+
+    "f_fulltext_and" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ' ' || lower(text) || ' ' LIKE '% spark %' AND ' ' || lower(text) || ' ' LIKE '% vector %'""".stripMargin,
+
+    "f_phrase" ->
+      "SELECT doc_id FROM documents WHERE ' ' || lower(text) || ' ' LIKE '% batch batch %'",
+
+    "f_phrase_slop" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(' ' || lower(text) || ' ', ' (spark( [a-z0-9]+){0} join|spark( [a-z0-9]+){1} join) ')""".stripMargin,
+
+    "f_querylang" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang = 'de'
+        |  AND (' ' || lower(text) || ' ' LIKE '% spark %' OR ' ' || lower(text) || ' ' LIKE '% vector %')
+        |  AND NOT source = 'src3'""".stripMargin,
+
+    "a_terms" ->
+      """WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count FROM events GROUP BY 1),
+        |top AS (SELECT * FROM c ORDER BY doc_count DESC, key ASC LIMIT 3)
+        |SELECT key, doc_count,
+        |  CAST((SELECT sum(doc_count) FROM c) - (SELECT sum(doc_count) FROM top) AS BIGINT) AS sum_other_doc_count
+        |FROM top""".stripMargin,
+
+    "a_histogram" ->
+      """SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS key, CAST(count(*) AS BIGINT) AS doc_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_date_histogram" ->
+      """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT)) AS key,
+        |  CAST(count(*) AS BIGINT) AS doc_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_range" ->
+      """SELECT CASE WHEN value < 50.0 THEN '*-50.0'
+        |            WHEN value >= 50.0 AND value < 150.0 THEN '50.0-150.0'
+        |            ELSE '150.0-*' END AS range_key,
+        |  CAST(count(*) AS BIGINT) AS doc_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_stats" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS count,
+        |  round(min(value), 4) AS min, round(max(value), 4) AS max,
+        |  round(sum(value), 4) AS sum, round(avg(value), 4) AS avg
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a_percentiles" ->
+      """SELECT round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events""".stripMargin,
+
+    "a_cardinality" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS user_cardinality
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a_sub_agg" ->
+      """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
+        |  CAST(count(*) AS BIGINT) AS doc_count, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a_top_by_max_ts" ->
+      """SELECT user_id AS key, max(ts) AS max_ts FROM events
+        |GROUP BY 1 ORDER BY max_ts DESC, key ASC LIMIT 5""".stripMargin,
+
+    "a_count_meta" ->
+      "SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem",
+
+    "k_topk" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10",
+
+    "k_search_after" ->
+      """SELECT event_id, value FROM events
+        |WHERE value > 150.0 OR (value = 150.0 AND event_id > 500)
+        |ORDER BY value ASC, event_id ASC LIMIT 10""".stripMargin,
+
+    "k_offset" ->
+      "SELECT event_id, value FROM events ORDER BY event_id LIMIT 10 OFFSET 20",
+
+    "t_tokens" ->
+      """SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents)
+        |WHERE token <> ''""".stripMargin,
+
+    "t_term_stats" ->
+      """SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS term_cardinality,
+        |  CAST(count(*) AS BIGINT) AS postings_count
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY doc_id""".stripMargin,
+
+    "t_list_terms" ->
+      """SELECT DISTINCT token FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents)
+        |WHERE token >= 'p' AND token < 't' ORDER BY token LIMIT 20""".stripMargin,
+
+    "j_enrich" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "j_union_multi_index" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count FROM (
+        |  SELECT * FROM events WHERE event_type = 'error'
+        |  UNION ALL SELECT * FROM events WHERE event_type = 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d_exact" ->
+      """SELECT text AS text_key, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "d_token_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang, source, token FROM (
+        |    SELECT doc_id, lang, source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, CAST(count(*) AS BIGINT) AS i
+        |  FROM toks a JOIN toks b
+        |    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id1, doc_id2,
+        |  round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes s1 ON doc_id1 = s1.doc_id JOIN sizes s2 ON doc_id2 = s2.doc_id
+        |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8
+        |ORDER BY doc_id1, doc_id2""".stripMargin,
+
+    "x_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio
+        |FROM documents""".stripMargin,
+
+    "x_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Quickwit tokenizer registry re-expressed as composed Spark built-ins
+  * (all codegen'd; no UDFs in the hot path).
+  *
+  * Reference: quickwit-query/src/tokenizers/mod.rs:41-93 —
+  *  - raw:        whole value is a single token, dropped if >255 chars
+  *  - lowercase:  raw + lower-casing
+  *  - default:    SimpleTokenizer (split at non-alphanumeric) + remove-long(255) + lowercase
+  *  - whitespace: split at whitespace (no lowercase, no length filter beyond 255? —
+  *                reference WhitespaceTokenizer has no filters)
+  *  - en_stem:    default + English (Porter) stemmer
+  *  - source_code_default: split at camelCase/number boundaries + ascii folding
+  *                (test: "PigCaféFactory2" → pig, cafe, factory, 2;
+  *                 quickwit-query/src/tokenizers/mod.rs:152-162)
+  */
+object Tokenizers {
+
+  val MaxTokenLen = 255 // tantivy RemoveLongFilter limit (tokenizers/mod.rs:45,55,62)
+
+  /** raw: one token, dropped entirely when longer than 255 chars or null. */
+  def raw(c: Column): Column =
+    when(c.isNotNull && length(c) <= MaxTokenLen, array(c))
+      .otherwise(array().cast("array<string>"))
+
+  /** lowercase: raw + lower. Fast-field normalizer variant
+    * (tokenizers/mod.rs:96-108). */
+  def lowercase(c: Column): Column = raw(lower(c))
+
+  /** default: split at non-alphanumeric (unicode), drop empty and >255,
+    * lowercase. The engine's main text tokenizer. */
+  def default(c: Column): Column =
+    filter(
+      split(lower(coalesce(c, lit(""))), "[^\\p{L}\\p{N}]+"),
+      t => t =!= "" && length(t) <= MaxTokenLen)
+
+  /** whitespace: split at runs of whitespace, keep case. */
+  def whitespace(c: Column): Column =
+    filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "" && length(t) <= MaxTokenLen)
+
+  /** source_code_default: insert breaks at lower→Upper and letter→digit
+    * boundaries, ascii-fold accents, then tokenize like `default`.
+    * Covers the reference's documented test cases; full UTS#29 word
+    * segmentation is out of scope. */
+  def sourceCode(c: Column): Column = {
+    val broken = regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(c, lit("")), "(\\p{Ll})(\\p{Lu})", "$1 $2"),
+        "(\\p{L})(\\p{N})", "$1 $2"),
+      "(\\p{N})(\\p{L})", "$1 $2")
+    // ascii folding for the common latin-1 accents (é→e etc.)
+    val folded = translate(broken,
+      "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ",
+      "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY")
+    default(folded)
+  }
+
+  /** en_stem: default + a lightweight Porter-style suffix stripper expressed
+    * as regexp rewrites (covers the common -ing/-ed/-ies/-s families; full
+    * Porter parity is documented as out of scope — parity is at counts
+    * level, and our tests pin THIS function's output). */
+  def enStem(c: Column): Column =
+    transform(default(c), t => stemToken(t))
+
+  private def stemToken(t: Column): Column = {
+    val ies = when(t.rlike(".{2,}ies$"), regexp_replace(t, "ies$", "i"))
+    val sses = when(t.rlike(".{2,}sses$"), regexp_replace(t, "sses$", "ss"))
+    val ing = when(t.rlike(".{4,}ing$"), regexp_replace(t, "ing$", ""))
+    val ed = when(t.rlike(".{4,}ed$"), regexp_replace(t, "ed$", ""))
+    val s = when(t.rlike(".{3,}[^su]s$"), regexp_replace(t, "s$", ""))
+    coalesce(ies, sses, ing, ed, s, t)
+  }
+
+  /** Tokenizer lookup by reference name. */
+  def byName(name: String): Column => Column = name match {
+    case "raw"                 => raw
+    case "lowercase"           => lowercase
+    case "default"             => default
+    case "whitespace"          => whitespace
+    case "source_code_default" => sourceCode
+    case "en_stem"             => enStem
+    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+  }
+}

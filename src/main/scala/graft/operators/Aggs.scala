@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ES-compatible aggregations (reference: docs/reference/aggregation.md;
+  * partial/final merge at quickwit-search/src/collector.rs:416-437,666) as
+  * thin DataFrame combinators. Catalyst's two-phase HashAggregate IS the
+  * segment-partial + root-merge of the reference, for free.
+  */
+object Aggs {
+
+  /** `terms` bucket agg: top-`size` keys by doc count (desc, key asc tie),
+    * plus `sum_other_doc_count` = docs outside the returned buckets
+    * (aggregation.md:88-95). */
+  def terms(df: DataFrame, key: Column, size: Int): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("doc_count"))
+    val total = df.count()
+    val top = counts.orderBy(desc("doc_count"), asc("key")).limit(size)
+    val kept = top.agg(sum("doc_count")).collect()(0).getLong(0)
+    top.withColumn("sum_other_doc_count", lit(total - kept))
+  }
+
+  /** `histogram`: bucket = floor((v - offset) / interval) * interval + offset
+    * (aggregation.md:124-160). Empty buckets are not materialized
+    * (min_doc_count=1 semantics; ES default 0 fills gaps — presentation-side). */
+  def histogram(df: DataFrame, value: Column, interval: Double, offset: Double = 0.0): DataFrame =
+    df.groupBy((floor((value - offset) / interval) * interval + offset).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("key")
+
+  /** `date_histogram` with fixed_interval (aggregation.md; test
+    * rest-api-tests/scenarii/aggregations/0001-aggregations.yaml:1-20). */
+  def dateHistogram(df: DataFrame, ts: Column, fixedInterval: String): DataFrame = {
+    // NTZ-safe: parquet event times are TIMESTAMP_NTZ; unix_micros requires
+    // an instant — with the session pinned to UTC the cast is the identity.
+    val micros = unix_micros(ts.cast("timestamp_ltz"))
+    val ivl = intervalMicros(fixedInterval)
+    df.groupBy(timestamp_micros((floor(micros / ivl) * ivl).cast("long")).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("key")
+  }
+
+  def intervalMicros(fixedInterval: String): Long = {
+    val m = "([0-9]+)(ms|s|m|h|d)".r
+    fixedInterval match {
+      case m(n, u) =>
+        val unit = u match {
+          case "ms" => 1000L
+          case "s"  => 1000000L
+          case "m"  => 60L * 1000000L
+          case "h"  => 3600L * 1000000L
+          case "d"  => 86400L * 1000000L
+        }
+        n.toLong * unit
+      case other => throw new IllegalArgumentException(s"bad fixed_interval $other")
+    }
+  }
+
+  /** `range` buckets: [from, to) per ES semantics. */
+  def rangeAgg(df: DataFrame, value: Column,
+               ranges: Seq[(Option[Double], Option[Double])]): DataFrame = {
+    val bucketed = ranges.foldLeft(when(lit(false), lit(""))) { case (acc, (from, to)) =>
+      val cond = (from.map(value >= _) ++ to.map(value < _))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val label = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+      acc.when(cond, lit(label))
+    }
+    df.withColumn("range_key", bucketed)
+      .filter(col("range_key").isNotNull)
+      .groupBy("range_key").agg(count(lit(1)).as("doc_count"))
+      .orderBy("range_key")
+  }
+
+  /** `stats`: count/min/max/sum/avg in one pass (aggregation.md:102-105). */
+  def stats(df: DataFrame, groupKeys: Seq[Column], value: Column): DataFrame =
+    df.groupBy(groupKeys: _*)
+      .agg(count(value).as("count"), min(value).as("min"), max(value).as("max"),
+           sum(value).as("sum"), avg(value).as("avg"))
+
+  /** `percentiles`: exact via `percentile` (interpolating, same contract as
+    * DuckDB quantile_cont); the reference's sketch-based approximation
+    * (aggregation.md:811-862) maps to `percentile_approx` at scale — both
+    * exposed. */
+  def percentilesExact(df: DataFrame, value: Column, ps: Seq[Double]): DataFrame =
+    df.agg(percentile(value, array(ps.map(lit): _*)).as("values"))
+
+  def percentilesApprox(df: DataFrame, value: Column, ps: Seq[Double]): DataFrame =
+    df.agg(percentile_approx(value, array(ps.map(lit): _*), lit(10000)).as("values"))
+
+  /** FindTraceIds analog: top-N group keys by max(ts), with dedup — the one
+    * genuinely custom collector of the reference
+    * (quickwit-search/src/find_trace_ids_collector.rs:111-140). groupBy+max+
+    * TakeOrdered gives identical semantics with partial aggregation. */
+  def topGroupsByMaxTs(df: DataFrame, key: Column, ts: Column, n: Int): DataFrame =
+    df.groupBy(key.as("key")).agg(max(ts).as("max_ts"))
+      .orderBy(desc("max_ts"), asc("key")).limit(n)
+
+  /** search_after: resume strictly after a sort cursor (collector.rs:316-341).
+    * The tuple predicate pushes into the scan. */
+  def searchAfter(df: DataFrame, sortCol: Column, tieCol: Column,
+                  cursorSort: Any, cursorTie: Any, k: Int): DataFrame =
+    df.filter(sortCol > lit(cursorSort) ||
+              (sortCol === lit(cursorSort) && tieCol > lit(cursorTie)))
+      .orderBy(sortCol.asc, tieCol.asc).limit(k)
+
+  /** start_offset pagination after merge (search.proto:206-211): row_number
+    * over the global sort, filtered to (offset, offset+k]. */
+  def paginate(df: DataFrame, sortCols: Seq[Column], offset: Int, k: Int): DataFrame = {
+    val w = Window.orderBy(sortCols: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > offset && col("_rn") <= offset + k)
+      .drop("_rn")
+  }
+}

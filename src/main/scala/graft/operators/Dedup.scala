@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over a `documents`
+  * table (doc_id, text, ...). All hash work uses codegen'd built-ins
+  * (xxhash64) — no UDFs; all pair generation is bucketed so the shuffle is
+  * bounded by bucket size, never O(n²) global.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per distinct text. One shuffle on
+    * the text hash (not the full text — cheap keys at 100 TB), then a
+    * minimal re-check group. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(xxhash64(text).as("_h"), text.as("text_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("_h")
+
+  /** Character shingles of length k over the normalized text. */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = lower(regexp_replace(coalesce(text, lit("")), "\\s+", " "))
+    when(length(norm) >= k,
+      array_distinct(transform(sequence(lit(0), length(norm) - k),
+        i => norm.substr(i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-grams. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => array_join(slice(tokens, i + lit(1), lit(n)), " ")),
+      g => size(split(g, " ")) === n)
+
+  /** MinHash signature: `numHashes` independent min-values of seeded
+    * xxhash64 over the shingle set. Returns array<bigint>.
+    * (Expression form — fine for few hashes; the pipeline below uses the
+    * explode+aggregate form instead, which stays in whole-stage codegen.) */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** MinHash signatures via explode + `numHashes` min-aggregates — each
+    * aggregate is codegen'd and map-side partial, so this is one narrow pass
+    * + one shuffle on doc_id regardless of corpus size. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        shingleK: Int, numHashes: Int): DataFrame = {
+    val exploded = df.select(id.as("doc_id"),
+        explode(shingles(text, shingleK)).as("shingle"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(col("shingle"), lit(seed))).as(s"_m$seed"))
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand`, hash each band → candidate pairs share ≥1 band bucket.
+    * Returns (doc_id, band_idx, band_hash) for the bucket join. */
+  def lshBands(df: DataFrame, id: Column, sig: Column,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(id.as("doc_id"), sig.as("_sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(transform(
+            slice(col("_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+            h => h.cast("string")), ",")))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+  /** Candidate near-dup pairs from LSH buckets (doc_id1 < doc_id2,
+    * deduplicated across bands). The self-join is on (band_idx, band_hash) —
+    * co-partitioned, and bucket sizes are small by construction. */
+  def lshCandidatePairs(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.as("a")
+    val b = bandsDf.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band → bucket
+    * join → verify candidates with exact Jaccard over signatures. */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+                      shingleK: Int = 5, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = minhashSignatures(df, id, text, shingleK, numHashes)
+    val cand = lshCandidatePairs(lshBands(withSig, col("doc_id"), col("sig"), bands, rows))
+    val sigs = withSig.select(col("doc_id"), col("sig"))
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("sig", "sig1"), "doc_id1")
+      .join(sigs.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("sig", "sig2"), "doc_id2")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_id1", "doc_id2", "est_jaccard")
+  }
+
+  /** SimHash (64-bit): per token, xxhash64; each bit contributes +1/-1;
+    * sign of the sum per bit position → fingerprint bit. Expressed with
+    * higher-order functions over the token array — one pass, no shuffle. */
+  def simhash(tokens: Column): Column = {
+    val bitSums = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, bit) => a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, bit) => when(s > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit chunks (any pair within
+    * hamming distance ≤ 3 of a 64-bit hash shares at least one exact 16-bit
+    * chunk — pigeonhole), join per block, verify by hamming distance. */
+  def simhashNearDups(df: DataFrame, id: Column, tokens: Column,
+                      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(id.as("doc_id"), simhash(tokens).as("fp"))
+    val blocks = fp.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("fp"), b.cast("int") * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b,
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+              col("a.fp").as("fp1"), col("b.fp").as("fp2"))
+      .distinct()
+      .withColumn("hamming", hammingDist(col("fp1"), col("fp2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id1", "doc_id2", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within blocking buckets
+    * (e.g. same lang/source): |A∩B| via an inner join on distinct grams,
+    * |A∪B| = |A|+|B|−|A∩B|. Never materializes the cross product. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, tokens: Column, bucket: Column,
+                        n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(id.as("doc_id"), bucket.as("bucket"),
+        explode(array_distinct(wordNgrams(tokens, n))).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("a"); val b = grams.as("b")
+    val inter = a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("n_grams", "n1"), "doc_id1")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("n_grams", "n2"), "doc_id2")
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id1", "doc_id2", "jaccard")
+  }
+}

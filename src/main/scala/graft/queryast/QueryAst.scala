@@ -1,0 +1,188 @@
+package graft.queryast
+
+import graft.functions.Tokenizers
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Query AST — every node of quickwit-query/src/query_ast/mod.rs:56-72,
+  * compiled to a Spark `Column` predicate instead of a tantivy query.
+  * Scoring (`_score`, Boost) is a documented non-goal: we filter, not rank.
+  */
+sealed trait QueryAst {
+  def toColumn(schema: FieldResolver): Column
+}
+
+/** Resolves a field name to (column, is-text-tokenized). Text fields match
+  * via the `default` tokenizer (term containment), others via typed equality.
+  */
+final case class FieldResolver(textFields: Set[String], defaultFields: Seq[String]) {
+  def isText(f: String): Boolean = textFields.contains(f)
+}
+
+object QueryAst {
+
+  /** bool_query.rs: must / mustNot / should / filter. `filter` is
+    * non-scoring must — identical here. Empty should = no constraint unless
+    * it is the only clause family. */
+  final case class Bool(must: Seq[QueryAst] = Nil, mustNot: Seq[QueryAst] = Nil,
+                        should: Seq[QueryAst] = Nil, filterQ: Seq[QueryAst] = Nil)
+      extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val musts = (must ++ filterQ).map(_.toColumn(r))
+      val nots = mustNot.map(q => !q.toColumn(r))
+      val shoulds = should.map(_.toColumn(r))
+      val shouldCol =
+        if (shoulds.isEmpty) None
+        else Some(shoulds.reduce(_ || _))
+      val hard = musts ++ nots
+      (hard, shouldCol) match {
+        case (Nil, None)    => lit(true)
+        case (Nil, Some(s)) => s
+        case (h, None)      => h.reduce(_ && _)
+        // should is optional when must/filter present (ES semantics,
+        // minimum_should_match=0)
+        case (h, Some(_))   => h.reduce(_ && _)
+      }
+    }
+  }
+
+  /** term_query.rs: exact term after normalization; on text fields the term
+    * must appear among the field's tokens. */
+  final case class Term(field: String, value: String) extends QueryAst {
+    def toColumn(r: FieldResolver): Column =
+      if (r.isText(field)) array_contains(Tokenizers.default(col(field)), value.toLowerCase)
+      else col(field) === lit(value)
+  }
+
+  /** term_set_query.rs: `field: IN [v1 v2 ...]`. */
+  final case class TermSet(field: String, values: Seq[String]) extends QueryAst {
+    def toColumn(r: FieldResolver): Column =
+      if (r.isText(field))
+        arrays_overlap(Tokenizers.default(col(field)),
+          array(values.map(v => lit(v.toLowerCase)): _*))
+      else col(field).isin(values: _*)
+  }
+
+  sealed trait FullTextMode
+  case object ModeAnd extends FullTextMode
+  case object ModeOr extends FullTextMode
+  final case class ModePhrase(slop: Int) extends FullTextMode
+
+  /** full_text_query.rs:42-120: tokenize the query text with the field's
+    * tokenizer, combine by mode. Phrase = ordered adjacency (slop allows
+    * up to `slop` extra positions between consecutive terms). */
+  final case class FullText(field: String, text: String,
+                            mode: FullTextMode = ModeAnd) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val terms = tokenizeQuery(text)
+      if (terms.isEmpty) lit(true)
+      else mode match {
+        case ModeAnd =>
+          terms.map(t => array_contains(Tokenizers.default(col(field)), t)).reduce(_ && _)
+        case ModeOr =>
+          terms.map(t => array_contains(Tokenizers.default(col(field)), t)).reduce(_ || _)
+        case ModePhrase(0) =>
+          // adjacency via regex over the normalized token stream — exact for
+          // slop 0 and far cheaper than positional indexes on a scan engine
+          regexp_like(normalizedStream(col(field)),
+            lit(" " + terms.mkString(" ") + " "))
+        case ModePhrase(slop) =>
+          // Lucene/tantivy slop is a TOTAL budget over all gaps, and a
+          // transposition costs 2 (query-language.md "Slop Operator",
+          // golden examples ibid.). Enumerate gap compositions summing
+          // ≤ slop (plus, for 2-term phrases, the transposed order with the
+          // residual budget) into one regex alternation.
+          regexp_like(normalizedStream(col(field)), lit(slopRegex(terms, slop)))
+      }
+    }
+  }
+
+  /** phrase_prefix_query.rs: phrase whose last term is a prefix. */
+  final case class PhrasePrefix(field: String, text: String) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val terms = tokenizeQuery(text)
+      if (terms.isEmpty) lit(true)
+      else regexp_like(normalizedStream(col(field)),
+        lit(" " + terms.mkString(" ") + "[\\p{L}\\p{N}]*"))
+    }
+  }
+
+  /** wildcard_query.rs: `foo*` / `f?o` style. */
+  final case class Wildcard(field: String, pattern: String) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val rx = "^" + pattern.toLowerCase.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+        case c => c.toString
+      } + "$"
+      if (r.isText(field)) exists(Tokenizers.default(col(field)), t => regexp_like(t, lit(rx)))
+      else regexp_like(lower(col(field)), lit(rx))
+    }
+  }
+
+  /** range_query.rs: typed bounds, each optional, inclusive or exclusive. */
+  final case class Range(field: String,
+                         gte: Option[Any] = None, gt: Option[Any] = None,
+                         lte: Option[Any] = None, lt: Option[Any] = None) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val c = col(field)
+      val parts = Seq(
+        gte.map(v => c >= lit(v)), gt.map(v => c > lit(v)),
+        lte.map(v => c <= lit(v)), lt.map(v => c < lit(v))).flatten
+      if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+    }
+  }
+
+  /** field_presence.rs: `exists`. */
+  final case class Exists(field: String) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = col(field).isNotNull
+  }
+
+  case object MatchAll extends QueryAst { def toColumn(r: FieldResolver): Column = lit(true) }
+  case object MatchNone extends QueryAst { def toColumn(r: FieldResolver): Column = lit(false) }
+
+  /** Boost: scoring multiplier — no-op on a filter engine (mod.rs:120-143). */
+  final case class Boost(inner: QueryAst, boost: Double) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = inner.toColumn(r)
+  }
+
+  /** Timestamp filter `[start, end)` semi-open on the timestamp fast field
+    * (quickwit-search/src/filters.rs:1-171). */
+  final case class TsRange(field: String, startMicros: Option[Long], endMicros: Option[Long])
+      extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val c = col(field)
+      val lo = startMicros.map(m => c >= timestamp_micros(lit(m)))
+      val hi = endMicros.map(m => c < timestamp_micros(lit(m)))
+      (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    }
+  }
+
+  /** All gap vectors (g_1..g_{n-1}), g_i ≥ 0, Σg ≤ budget. */
+  private def gapCompositions(n: Int, budget: Int): Seq[Seq[Int]] =
+    if (n <= 1) Seq(Seq.empty)
+    else (0 to budget).flatMap(g => gapCompositions(n - 1, budget - g).map(g +: _))
+
+  private[queryast] def slopRegex(terms: Seq[String], slop: Int): String = {
+    def pat(ts: Seq[String], budget: Int): Seq[String] =
+      gapCompositions(ts.length, budget).map { gaps =>
+        ts.head + ts.tail.zip(gaps).map { case (t, g) =>
+          s"( [\\p{L}\\p{N}]+){$g} " + t
+        }.mkString
+      }
+    val orders =
+      if (terms.length == 2 && slop >= 2) Seq(terms -> slop, terms.reverse -> (slop - 2))
+      else Seq(terms -> slop)
+    val alts = orders.flatMap { case (ts, b) => pat(ts, b) }.distinct
+    " (" + alts.mkString("|") + ") "
+  }
+
+  private[queryast] def tokenizeQuery(text: String): Seq[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(t => t.nonEmpty && t.length <= 255)
+
+  /** The field value as a single normalized space-delimited token stream,
+    * padded with sentinels — phrase matching substrate. */
+  private[queryast] def normalizedStream(c: Column): Column =
+    concat(lit(" "), array_join(Tokenizers.default(c), " "), lit(" "))
+}

@@ -1,0 +1,97 @@
+package graft.util
+
+/** Minimal recursive-descent JSON parser (dependency-free; used only for the
+  * manifest round-trip on the driver — never in an executor hot path).
+  * Numbers parse as Double; objects as Map[String, Any]; arrays as Seq[Any].
+  */
+object Json {
+
+  def parse(s: String): Any = {
+    val p = new P(s)
+    val v = p.value()
+    p.ws()
+    require(p.eof, s"trailing JSON at ${p.pos}")
+    v
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def ws(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(pos) == c, s"expected '$c' at $pos")
+      pos += 1
+    }
+    def value(): Any = {
+      ws()
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => pos += 4; true
+        case 'f' => pos += 5; false
+        case 'n' => pos += 4; null
+        case _   => num()
+      }
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      val b = Map.newBuilder[String, Any]
+      if (s.charAt(pos) == '}') { pos += 1; return b.result() }
+      while (true) {
+        ws()
+        val k = str()
+        ws(); expect(':')
+        b += k -> value()
+        ws()
+        if (s.charAt(pos) == ',') pos += 1
+        else { expect('}'); return b.result() }
+      }
+      b.result()
+    }
+    private def arr(): Seq[Any] = {
+      expect('['); ws()
+      val b = Seq.newBuilder[Any]
+      if (s.charAt(pos) == ']') { pos += 1; return b.result() }
+      while (true) {
+        b += value()
+        ws()
+        if (s.charAt(pos) == ',') pos += 1
+        else { expect(']'); return b.result() }
+      }
+      b.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          s.charAt(pos) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case '/'  => sb += '/'
+            case 'n'  => sb += '\n'
+            case 't'  => sb += '\t'
+            case 'r'  => sb += '\r'
+            case 'b'  => sb += '\b'
+            case 'f'  => sb += '\f'
+            case 'u'  =>
+              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case o => throw new IllegalArgumentException(s"bad escape \\$o")
+          }
+        } else sb += c
+        pos += 1
+      }
+      pos += 1
+      sb.result()
+    }
+    private def num(): Double = {
+      val start = pos
+      while (!eof && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      s.substring(start, pos).toDouble
+    }
+  }
+}
