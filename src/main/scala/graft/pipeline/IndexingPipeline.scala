@@ -118,13 +118,18 @@ object IndexingPipeline {
   }
 
   /** Deterministic routed-row set checksum over (sink, conv_id, turn_idx) —
-    * the routed-row equality check of the BASELINE. Order-independent
-    * (sum of per-row hashes mod 2^64 wraps identically at any parallelism). */
-  def routedChecksum(routedWithSink: DataFrame): Long =
-    routedWithSink
-      .select(xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx")).as("h"))
+    * the routed-row equality check of the BASELINE. Order-independent: sum
+    * of per-row hashes in decimal (ANSI mode would throw on a long-sum
+    * overflow), reduced mod 2^64 so the result is parallelism-invariant. */
+  def routedChecksum(routedWithSink: DataFrame): Long = {
+    val d = routedWithSink
+      .select(xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx"))
+        .cast("decimal(38,0)").as("h"))
       .agg(sum(col("h")))
-      .collect()(0).getLong(0)
+      .collect()(0).getDecimal(0)
+    if (d == null) 0L
+    else d.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+  }
 
   /** Run the whole pipeline and publish. `delta` identifies the input batch
     * for exactly-once resume: rerunning an already-published delta is
@@ -138,6 +143,9 @@ object IndexingPipeline {
       val cp = Checkpoint.SourceCheckpoint(snap.checkpoint)
       if (cp.checkCompatibility(delta).isLeft) return None
     }
+    // batch-scoped sink subdirs: incremental deltas append new file groups
+    // instead of clobbering earlier batches (uploader stages per split).
+    val batchId = store.currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
     val (tools, roles) = dims(spark)
     val (routedRaw, deadLetter) = parseEnrichRoute(input, tools, roles, cfg)
     val routed = routedRaw
@@ -147,23 +155,23 @@ object IndexingPipeline {
       // fan-out sink 1: per-tool error index
       val errorIndex = routed.filter(col("call_status") === "ERR" || col("severity") === "ERROR")
       errorIndex.write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("sink").parquet(s"$outDir/error_index")
+        .partitionBy("sink").parquet(s"$outDir/error_index/batch-$batchId")
       // fan-out sink 2: per-conversation rollup
       val rollup = conversationRollup(routed, salted, cfg)
       rollup.write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$outDir/rollup")
+        .parquet(s"$outDir/rollup/batch-$batchId")
       // fan-out sink 3: dead letter
-      deadLetter.write.mode("overwrite").parquet(s"$outDir/dead_letter")
+      deadLetter.write.mode("overwrite").parquet(s"$outDir/dead_letter/batch-$batchId")
 
       val counts = SinkCounts(
-        errorIndex = spark.read.parquet(s"$outDir/error_index").count(),
-        rollup = spark.read.parquet(s"$outDir/rollup").count(),
-        deadLetter = spark.read.parquet(s"$outDir/dead_letter").count())
+        errorIndex = errorIndex.count(),
+        rollup = rollup.count(),
+        deadLetter = deadLetter.count())
       val checksum = routedChecksum(routed)
 
       val splits = splitAggregates(routed, cfg).collect().toSeq.map { r =>
         Manifest.SplitEntry(
-          splitId = s"split-p${r.getAs[Long]("partition_id")}",
+          splitId = s"split-$batchId-p${r.getAs[Long]("partition_id")}",
           partitionId = r.getAs[Long]("partition_id"),
           numDocs = r.getAs[Long]("num_docs"),
           uncompressedBytes = r.getAs[Long]("uncompressed_docs_size_in_bytes"),

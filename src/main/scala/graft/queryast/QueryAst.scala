@@ -168,7 +168,7 @@ object QueryAst {
     def pat(ts: Seq[String], budget: Int): Seq[String] =
       gapCompositions(ts.length, budget).map { gaps =>
         ts.head + ts.tail.zip(gaps).map { case (t, g) =>
-          s"( [\\p{L}\\p{N}]+){$g} " + t
+          (if (g == 0) "" else s"( [\\p{L}\\p{N}]+){$g}") + " " + t
         }.mkString
       }
     val orders =

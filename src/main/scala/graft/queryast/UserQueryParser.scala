@@ -73,6 +73,8 @@ object UserQueryParser {
     }
 
     private def clause(): QueryAst = {
+      ws()
+      if (peek == '"') return defaultFieldClause() // bare phrase on default fields
       val start = i
       val tok = bareToken()
       if (i < s.length && peek == ':') {

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** Golden tokenizer tests mirroring the reference's
+  * quickwit-query/src/tokenizers/mod.rs:116-163 test block. */
+class TokenizersSpec extends SparkTestBase {
+
+  test("default: split at non-alphanumeric, lowercase, drop empties") {
+    assert(evalTokens("Hello, happy tax payer!", Tokenizers.default) ===
+      Seq("hello", "happy", "tax", "payer"))
+  }
+
+  test("default: unicode letters and digits are token chars") {
+    assert(evalTokens("Méchant pilote; 42 fois", Tokenizers.default) ===
+      Seq("méchant", "pilote", "42", "fois"))
+  }
+
+  test("default: tokens longer than 255 chars are dropped") {
+    val long = "a" * 256
+    assert(evalTokens(s"keep $long also", Tokenizers.default) === Seq("keep", "also"))
+    // exactly 255 survives (RemoveLongFilter is strictly greater-than)
+    val ok = "b" * 255
+    assert(evalTokens(ok, Tokenizers.default) === Seq(ok))
+  }
+
+  test("default: null → empty") {
+    assert(evalTokens(null, Tokenizers.default) === Seq.empty)
+  }
+
+  test("raw: whole value is one token; >255 drops it entirely") {
+    assert(evalTokens("Hello World!", Tokenizers.raw) === Seq("Hello World!"))
+    assert(evalTokens("x" * 256, Tokenizers.raw) === Seq.empty)
+    assert(evalTokens(null, Tokenizers.raw) === Seq.empty)
+  }
+
+  test("lowercase: raw + lowercase") {
+    assert(evalTokens("Hello WORLD", Tokenizers.lowercase) === Seq("hello world"))
+  }
+
+  test("whitespace: split at whitespace runs, keep case") {
+    assert(evalTokens("Hello  Happy\tTax payer", Tokenizers.whitespace) ===
+      Seq("Hello", "Happy", "Tax", "payer"))
+  }
+
+  test("source_code_default: PigCaféFactory2 → pig cafe factory 2") {
+    // the reference's documented golden case (tokenizers/mod.rs:152-162)
+    assert(evalTokens("PigCaféFactory2", Tokenizers.sourceCode) ===
+      Seq("pig", "cafe", "factory", "2"))
+  }
+
+  test("source_code_default: snake_case and digits") {
+    assert(evalTokens("read_file2Parse", Tokenizers.sourceCode) ===
+      Seq("read", "file", "2", "parse"))
+  }
+
+  test("en_stem: common suffix families") {
+    assert(evalTokens("running jumped stories glasses tokens", Tokenizers.enStem) ===
+      Seq("runn", "jump", "stori", "glass", "token"))
+  }
+
+  test("byName resolves every registered tokenizer") {
+    for (n <- Seq("raw", "lowercase", "default", "whitespace", "source_code_default", "en_stem"))
+      Tokenizers.byName(n)
+    intercept[IllegalArgumentException](Tokenizers.byName("nope"))
+  }
+}

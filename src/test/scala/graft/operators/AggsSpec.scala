@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** ES-compatible aggregation semantics tests
+  * (reference: docs/reference/aggregation.md; collector.rs partial/final). */
+class AggsSpec extends SparkTestBase {
+
+  private def events = {
+    import spark.implicits._
+    Seq(
+      ("a", 5.0, ts("2024-01-01 01:00:00")),
+      ("a", 15.0, ts("2024-01-01 02:00:00")),
+      ("a", 25.0, ts("2024-01-02 03:00:00")),
+      ("b", 35.0, ts("2024-01-02 04:00:00")),
+      ("b", 45.0, ts("2024-01-03 05:00:00")),
+      ("c", 55.0, ts("2024-01-03 06:00:00")),
+      ("d", 65.0, ts("2024-01-04 07:00:00"))
+    ).toDF("k", "v", "ts")
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("terms: top-size by count desc, key asc ties, sum_other_doc_count") {
+    val out = Aggs.terms(events, col("k"), size = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 3L), ("b", 2L)))
+    assert(out.forall(_.getLong(2) === 2L)) // c + d left out
+  }
+
+  test("histogram: floor((v - offset)/interval)*interval + offset buckets") {
+    val out = Aggs.histogram(events, col("v"), interval = 20.0)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out === Seq((0.0, 2L), (20.0, 2L), (40.0, 2L), (60.0, 1L)))
+    val off = Aggs.histogram(events, col("v"), interval = 20.0, offset = 5.0)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(off === Seq((5.0, 2L), (25.0, 2L), (45.0, 2L), (65.0, 1L)))
+  }
+
+  test("date_histogram: fixed_interval 1d buckets") {
+    val out = Aggs.dateHistogram(events, col("ts"), "1d")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(out === Seq(
+      (ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-02 00:00:00"), 2L),
+      (ts("2024-01-03 00:00:00"), 2L), (ts("2024-01-04 00:00:00"), 1L)))
+  }
+
+  test("interval parsing") {
+    assert(Aggs.intervalMicros("30s") === 30000000L)
+    assert(Aggs.intervalMicros("15m") === 900000000L)
+    assert(Aggs.intervalMicros("2h") === 7200000000L)
+    assert(Aggs.intervalMicros("1d") === 86400000000L)
+    intercept[IllegalArgumentException](Aggs.intervalMicros("1w"))
+  }
+
+  test("range agg: [from, to) buckets, unbounded edges") {
+    val out = Aggs.rangeAgg(events, col("v"),
+        Seq((None, Some(20.0)), (Some(20.0), Some(50.0)), (Some(50.0), None)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("*-20.0" -> 2L, "20.0-50.0" -> 3L, "50.0-*" -> 2L))
+  }
+
+  test("stats: count/min/max/sum/avg in one pass") {
+    val r = Aggs.stats(events.filter(col("k") === "a"), Nil, col("v")).collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 5.0 && r.getDouble(2) === 25.0)
+    assert(r.getDouble(3) === 45.0 && r.getDouble(4) === 15.0)
+  }
+
+  test("percentiles: exact matches interpolated quantiles") {
+    val vals = Aggs.percentilesExact(events, col("v"), Seq(0.0, 0.5, 1.0))
+      .collect()(0).getAs[scala.collection.Seq[Double]](0)
+    assert(vals === Seq(5.0, 35.0, 65.0))
+  }
+
+  test("topGroupsByMaxTs: FindTraceIds semantics (desc max_ts, key tie)") {
+    val out = Aggs.topGroupsByMaxTs(events, col("k"), col("ts"), 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("d", "c"))
+  }
+
+  test("searchAfter: strictly-after cursor, tie broken by second key") {
+    val out = Aggs.searchAfter(events.select(col("v"), col("k")), col("v"), col("k"),
+        35.0, "zzz", 3)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out === Seq(45.0, 55.0, 65.0))
+    val tied = Aggs.searchAfter(events.select(col("v"), col("k")), col("v"), col("k"),
+        35.0, "a", 2).collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(tied === Seq((35.0, "b"), (45.0, "b")))
+  }
+
+  test("paginate: offset + limit over a global sort") {
+    val out = Aggs.paginate(events.select("v"), Seq(col("v").asc), offset = 2, k = 3)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out === Seq(25.0, 35.0, 45.0))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Similarity-search tests: exact brute-force top-k as the oracle, LSH as a
+  * candidate-recall path whose scores must agree exactly where returned. */
+class SimilaritySpec extends SparkTestBase {
+
+  test("dot / norm / cosine on known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-9)
+  }
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f)),
+      (5L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "vec")
+  }
+
+  test("brute-force top-k: exact ranks, self excluded") {
+    import spark.implicits._
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    // nearest to (1,0): doc2 (cos≈0.994), doc5 (cos≈0.707), doc3 (cos 0)
+    assert(out === Seq((2L, 1), (5L, 2), (3L, 3)))
+  }
+
+  test("lsh top-k: returned scores are exact cosines, ranks consistent") {
+    import spark.implicits._
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(corpus, queries, k = 4, bits = 4, tables = 8)
+      .collect()
+    // every LSH hit must carry the same cosine as the exact computation
+    lsh.foreach { r =>
+      assert(math.abs(r.getDouble(2) - brute(r.getLong(1))) < 1e-9)
+    }
+    // ranks are dense and ordered
+    val ranks = lsh.map(_.getInt(3)).sorted.toSeq
+    assert(ranks === (1 to lsh.length).toSeq)
+  }
+
+  test("ivf assignment is deterministic and in range") {
+    import spark.implicits._
+    val df = corpus.select(col("vec_id"), Similarity.ivfAssign(col("vec"), dim = 2, nlist = 4).as("list"))
+    val a = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+    assert(a.values.forall(l => l >= 0 && l < 4))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.publish
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.publish.Checkpoint._
+import graft.publish.Manifest._
+
+/** Exactly-once backbone tests — checkpoint contiguity
+  * (quickwit-metastore/src/checkpoint.rs:290 check_compatibility) and the
+  * atomic publish transaction (publisher.rs:101-150). */
+class CheckpointManifestSpec extends AnyFunSuite {
+
+  private def delta(p: String, from: Long, to: Long) =
+    Delta(Seq(PartitionDelta(p, from, to)))
+
+  test("delta contiguity: new partition starts at -1") {
+    val cp = SourceCheckpoint.empty
+    assert(cp.checkCompatibility(delta("p0", -1, 10)).isRight)
+    assert(cp.checkCompatibility(delta("p0", 0, 10)) === Left(("p0", Gap)))
+  }
+
+  test("delta contiguity: gap and overlap rejected, exact continuation accepted") {
+    val cp = SourceCheckpoint(Map("p0" -> 10L))
+    assert(cp.checkCompatibility(delta("p0", 10, 20)).isRight)
+    assert(cp.checkCompatibility(delta("p0", 15, 20)) === Left(("p0", Gap)))
+    assert(cp.checkCompatibility(delta("p0", 5, 20)) === Left(("p0", Overlap)))
+    assert(cp.checkCompatibility(delta("p0", -1, 20)) === Left(("p0", Overlap))) // replay
+  }
+
+  test("tryApply advances positions; multi-partition deltas are all-or-nothing") {
+    val cp = SourceCheckpoint(Map("p0" -> 10L, "p1" -> 5L))
+    val ok = Delta(Seq(PartitionDelta("p0", 10, 20), PartitionDelta("p1", 5, 8)))
+    assert(cp.tryApply(ok) === Right(SourceCheckpoint(Map("p0" -> 20L, "p1" -> 8L))))
+    val bad = Delta(Seq(PartitionDelta("p0", 10, 20), PartitionDelta("p1", 6, 8)))
+    assert(cp.tryApply(bad).isLeft)
+  }
+
+  test("empty/negative deltas are invalid") {
+    intercept[IllegalArgumentException](PartitionDelta("p0", 10, 10))
+    intercept[IllegalArgumentException](PartitionDelta("p0", 10, 5))
+  }
+
+  private def entry(id: String, docs: Long = 100L) = SplitEntry(
+    splitId = id, partitionId = 1L, numDocs = docs, uncompressedBytes = docs * 50,
+    timeRangeStartMicros = 1000L, timeRangeEndMicros = 2000L,
+    tags = Seq("bash", "sql"), termCardinality = 42L, postingsCount = 314L,
+    numMergeOps = 0, deleteOpstamp = 0L, files = Seq("f1.parquet"))
+
+  test("manifest publish: accumulates splits, advances checkpoint, bumps snapshot id") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val store = new Store(dir)
+    assert(store.currentSnapshot() === None)
+
+    val s1 = store.publish(Seq(entry("a")), Set.empty, delta("src", -1, 100))
+    assert(s1.map(_.snapshotId) === Right(1L))
+    val s2 = store.publish(Seq(entry("b")), Set.empty, delta("src", 100, 200))
+    assert(s2.map(_.snapshotId) === Right(2L))
+    val snap = store.currentSnapshot().get
+    assert(snap.splits.map(_.splitId).toSet === Set("a", "b"))
+    assert(snap.checkpoint === Map("src" -> 200L))
+  }
+
+  test("manifest publish: duplicate delta rejected (exactly-once), gap rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val store = new Store(dir)
+    assert(store.publish(Seq(entry("a")), Set.empty, delta("src", -1, 100)).isRight)
+    assert(store.publish(Seq(entry("a2")), Set.empty, delta("src", -1, 100)).isLeft)
+    assert(store.publish(Seq(entry("a3")), Set.empty, delta("src", 150, 300)).isLeft)
+    // state unchanged after rejections
+    assert(store.currentSnapshot().get.splits.map(_.splitId) === Seq("a"))
+  }
+
+  test("manifest publish: replaced split ids are dropped (merge path)") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val store = new Store(dir)
+    store.publish(Seq(entry("a"), entry("b")), Set.empty, delta("src", -1, 100))
+    store.publish(Seq(entry("merged", 200L)), Set("a", "b"), delta("src", 100, 200))
+    assert(store.currentSnapshot().get.splits.map(_.splitId) === Seq("merged"))
+  }
+
+  test("snapshot JSON round-trip is exact") {
+    val snap = Snapshot(7L, Seq(entry("x\"esc\n", 5L)), Map("p0" -> 10L, "p1" -> 20L))
+    assert(Manifest.fromJson(Manifest.toJson(snap)) === snap)
+  }
+}
