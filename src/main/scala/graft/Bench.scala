@@ -1,5 +1,13 @@
 package graft
+import graft.pipeline.IndexingPipeline
+import graft.publish.Checkpoint
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at the given SF, plus
+  * one end-to-end indexing-pipeline run (parse→route→aggregate→publish) whose
+  * throughput in turns/sec is the BASELINE's headline metric. Emits ONE JSON
+  * line. The two-parallelism scaling evidence lives in graft.ScalingBench →
+  * BENCH/BASELINE.md. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,10 +23,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // end-to-end pipeline throughput on the transcripts derived from this SF
+    val (pipeSecs, turnsPerSec) =
+      try {
+        val input = SparkEntry.transcripts(spark, sfDir).persist()
+        val n = input.count()
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
+        val t0 = System.nanoTime()
+        IndexingPipeline.run(spark, input, out,
+          Checkpoint.Delta(Seq(Checkpoint.PartitionDelta("bench", -1, n))),
+          IndexingPipeline.Config(shufflePartitions = cpus.toInt))
+        val secs = (System.nanoTime() - t0) / 1e9
+        input.unpersist()
+        (secs, n / secs)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    val qs = (results + ("pipeline_e2e" -> pipeSecs))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum + math.max(pipeSecs, 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_turns_per_sec":$turnsPerSec}""")
     spark.stop()
   }
 }

@@ -1,9 +1,10 @@
 package graft
 
 import graft.functions.Tokenizers
-import graft.operators.{Aggs, Dedup, Similarity, TextAnalysis}
-import graft.parse.{DateTimeParse, DocParser}
-import graft.queryast.{FieldResolver, UserQueryParser}
+import graft.operators.{Aggs, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.parse.{BytesParse, DateTimeParse, DocParser}
+import graft.publish.MergePolicy
+import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
 import graft.route.Routing
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -401,7 +402,143 @@ object SparkEntry {
 
     "x_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- bytes / ip leaf parse (P4) --------------------------------------
+    "p_bytes_parse" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        BytesParse.toBase64(substring(col("text"), 1, 12).cast("binary")).as("b64"),
+        BytesParse.fromBase64(
+          BytesParse.toBase64(substring(col("text"), 1, 12).cast("binary")))
+          .cast("string").as("roundtrip"),
+        BytesParse.toHexStr(substring(col("text"), 1, 8).cast("binary")).as("hex8"))),
+
+    "p_ip_normalize" -> ((s, d) => {
+      val ip = concat(pmod(col("event_id"), lit(256)).cast("string"), lit(".0.0."),
+        pmod(col("user_id"), lit(256)).cast("string"))
+      t(s, d, "events").select(col("event_id"),
+        BytesParse.normalizeIp(ip).as("ip_norm"))
+    }),
+
+    // ---- ES query DSL (F12) ----------------------------------------------
+    "f_es_dsl" -> ((s, d) => {
+      val q = EsDsl.parse(
+        """{"bool": {
+          |  "must": [
+          |    {"match": {"text": {"query": "spark plan", "operator": "and"}}},
+          |    {"range": {"doc_id": {"lt": 300}}}],
+          |  "must_not": [{"term": {"lang": "fr"}}]
+          |}}""".stripMargin)
+      t(s, d, "documents").filter(q.toColumn(docResolver)).select("doc_id", "lang")
+    }),
+
+    "f_phrase_prefix" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      t(s, d, "documents")
+        .filter(PhrasePrefix("text", "spark jo").toColumn(docResolver))
+        .select("doc_id")
+    }),
+
+    // ---- more tokenizers -------------------------------------------------
+    "t_whitespace" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Tokenizers.whitespace(col("text"))).as("token"))),
+
+    "t_en_stem" -> ((s, d) => // stemmer pinned by TokenizersSpec; rows-only here
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Tokenizers.enStem(col("text"))).as("token"))
+        .groupBy("doc_id").agg(countDistinct("token").as("stem_cardinality"))),
+
+    // ---- tag sets (A12) --------------------------------------------------
+    "a_tag_sets" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(array_join(slice(sort_array(collect_set(col("lang"))), 1, 1000), ",").as("tags"),
+             countDistinct(col("lang")).as("tag_cardinality"))
+        .orderBy("source")),
+
+    // ---- search-stream export (S9) ---------------------------------------
+    "s_search_stream" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "click").select("user_id")),
+
+    // ---- embedding-cosine near-dup (exact; LSH path = sim_ann_lsh) -------
+    "d_embed_cosine" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = e.select(col("vec_id").as("vec_id1"), col("v").as("v1"))
+      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+      a.crossJoin(b).filter(col("vec_id1") < col("vec_id2"))
+        .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_id1"), col("vec_id2"), round(col("cos"), 4).as("cos"))
+        .orderBy("vec_id1", "vec_id2")
+    }),
+
+    // ---- multimodal plumbing (rows-only: hash not SQL-mirrorable) --------
+    "m_multimodal" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.withBlobStats(media, col("media"))
+        .withColumn("n_frames", size(Multimodal.sampleFrames(col("media"), 4, 20, 30)))
+        .select("doc_id", "n_bytes", "blob_hash", "n_frames")
+    }),
+
+    // ---- doc → JSON back-projection (P6) ---------------------------------
+    "p_doc_to_json" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("source")),
+          Map("ignoreNullFields" -> "false")).as("doc_json"))),
+
+    // ---- janitor: delete-task rewrite (T7) -------------------------------
+    "m_delete_rewrite" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // stored delete query: lang:fr AND source:src2 → anti-join rewrite
+      val doomed = docs.filter(col("lang") === "fr" && col("source") === "src2")
+        .select(col("doc_id").as("_del_id"))
+      docs.join(doomed, docs("doc_id") === col("_del_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // ---- janitor: retention policy over split metadata -------------------
+    "m_retention" -> ((s, d) => {
+      val stats = queries("pipe_split_stats")(s, d)
+      // retention: drop splits whose whole time range ended before cutoff
+      stats.filter(col("max_ts") >= lit("2024-01-08").cast("timestamp"))
+        .select("partition_id", "num_docs")
+        .orderBy("partition_id")
+    }),
+
+    // ---- merge planning over live split stats (rows-only; pure Scala) ----
+    "m_merge_plan" -> ((s, d) => {
+      import s.implicits._
+      val stats = queries("pipe_split_stats")(s, d)
+        // parquet ts columns are NTZ — convert to epoch µs before collect
+        .withColumn("min_us", unix_micros(col("min_ts").cast("timestamp_ltz")))
+        .withColumn("max_us", unix_micros(col("max_ts").cast("timestamp_ltz")))
+        .collect()
+      val entries = stats.map { r =>
+        graft.publish.Manifest.SplitEntry(
+          splitId = s"split-p${r.getAs[Long]("partition_id")}",
+          partitionId = 0L, // same level-pool: plan by size alone
+          numDocs = r.getAs[Long]("num_docs"),
+          uncompressedBytes = r.getAs[Long]("uncompressed_bytes"),
+          timeRangeStartMicros = r.getAs[Long]("min_us"),
+          timeRangeEndMicros = r.getAs[Long]("max_us"),
+          tags = Nil, termCardinality = r.getAs[Long]("term_cardinality"),
+          postingsCount = r.getAs[Long]("postings_count"),
+          numMergeOps = 0, deleteOpstamp = 0L, files = Nil)
+      }.toSeq
+      val cfg = MergePolicy.Config(mergeFactor = 3, maxMergeFactor = 4,
+        minLevelNumDocs = 10L, splitNumDocsTarget = 10000000L)
+      val plan = MergePolicy.planMerges(entries, cfg)
+      val merged = plan.zipWithIndex.map { case (batch, i) =>
+        val m = MergePolicy.combine(batch, s"merged-$i")
+        (m.splitId, batch.map(_.splitId).sorted.mkString(","), m.numDocs, m.postingsCount)
+      }
+      merged.toDF("merged_id", "source_splits", "num_docs", "postings_count")
+    })
   )
 
   // =======================================================================
@@ -645,6 +782,69 @@ object SparkEntry {
     "x_token_count" ->
       """SELECT doc_id,
         |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "p_bytes_parse" ->
+      """SELECT doc_id,
+        |  base64(encode(substr(text, 1, 12))) AS b64,
+        |  decode(from_base64(base64(encode(substr(text, 1, 12))))) AS roundtrip,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS hex8
+        |FROM documents""".stripMargin,
+
+    "p_ip_normalize" ->
+      """SELECT event_id,
+        |  '::ffff:' || CAST(event_id % 256 AS VARCHAR) || '.0.0.' || CAST(user_id % 256 AS VARCHAR) AS ip_norm
+        |FROM events""".stripMargin,
+
+    "f_es_dsl" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ' ' || lower(text) || ' ' LIKE '% spark %'
+        |  AND ' ' || lower(text) || ' ' LIKE '% plan %'
+        |  AND doc_id < 300 AND NOT lang = 'fr'""".stripMargin,
+
+    "f_phrase_prefix" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(
+        |  ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ',
+        |  ' spark jo[a-z0-9]*')""".stripMargin,
+
+    "t_whitespace" ->
+      """SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE token <> ''""".stripMargin,
+
+    "a_tag_sets" ->
+      """SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS tags,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS tag_cardinality
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "s_search_stream" ->
+      "SELECT user_id FROM events WHERE event_type = 'click'",
+
+    "p_doc_to_json" ->
+      """SELECT doc_id,
+        |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS VARCHAR) AS doc_json
+        |FROM documents""".stripMargin,
+
+    "m_delete_rewrite" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |WHERE NOT (lang = 'fr' AND source = 'src2')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "m_retention" -> (TranscriptsCte +
+      """, tr AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 8 AS partition_id
+        |          FROM transcripts WHERE text IS NOT NULL)
+        |SELECT partition_id, CAST(count(*) AS BIGINT) AS num_docs
+        |FROM tr GROUP BY partition_id
+        |HAVING max(ts) >= TIMESTAMP '2024-01-08'
+        |ORDER BY partition_id""".stripMargin),
+
+    "d_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -79,6 +79,74 @@ object TranscriptGen {
     out.result()
   }
 
+  /** Distributed generator: same statistical shape as `turns`, but built
+    * entirely from `spark.range` + codegen'd column expressions — no driver
+    * loop, so it generates at any scale (the 10^12-turn table is this with a
+    * bigger range). All content derives from xxhash64(conv, turn, salt):
+    * deterministic across runs and parallelism levels.
+    *
+    * `hotFraction` > 0 adds one extra conversation (id = numConvs) carrying
+    * that fraction of the total rows — the hot-conv skew scenario. Its rows
+    * come from a dedicated flat range (never a single giant exploded array,
+    * which would pin the hot conv to one task at generation time too).
+    */
+  def distributedTurns(spark: org.apache.spark.sql.SparkSession, numConvs: Long,
+                       avgTurns: Int, hotFraction: Double = 0.0)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val baseMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+    def h(salt: Int): Column = xxhash64(col("cid"), col("turn_idx"), lit(salt))
+    def hmod(salt: Int, m: Int): Column = pmod(h(salt), lit(m.toLong))
+
+    val normal = spark.range(numConvs)
+      .select(col("id").as("cid"),
+        (lit(math.max(1, avgTurns / 2)) +
+          pmod(xxhash64(col("id")), lit(math.max(1, avgTurns).toLong))).cast("int").as("n"))
+      .select(col("cid"), explode(sequence(lit(0), col("n") - 1)).as("turn_idx"))
+    val hotRows = (numConvs * avgTurns * hotFraction).toLong
+    val base =
+      if (hotRows <= 0) normal
+      else normal.unionByName(
+        spark.range(hotRows).select(lit(numConvs).as("cid"), col("id").cast("int").as("turn_idx")))
+
+    val rolesArr = array(Roles.map(lit): _*)
+    val toolsArr = array(ToolVocab.map(lit): _*)
+    val sevArr = array(Severities.map(lit): _*)
+    val wordsArr = array(words.map(lit): _*)
+
+    val role = element_at(rolesArr, (hmod(1, Roles.length) + 1).cast("int"))
+    val hasTool = role === "tool" || hmod(2, 4) === 0
+    val tool = when(hasTool, element_at(toolsArr, (hmod(3, ToolVocab.length) + 1).cast("int")))
+    val sev = element_at(sevArr, (hmod(4, Severities.length) + 1).cast("int"))
+    val body = array_join(
+      transform(sequence(lit(0), (lit(2) + hmod(5, 8)).cast("int")),
+        i => element_at(wordsArr, (pmod(xxhash64(col("cid"), col("turn_idx"), i), lit(words.length.toLong)) + 1).cast("int"))),
+      " ")
+    val isErr = hmod(6, 5) === 0
+    val callPart = when(tool.isNotNull,
+      concat(lit(" CALL "), tool, lit("(arg="), hmod(7, 100).cast("string"), lit(") -> "),
+        when(isErr, "ERR").otherwise("OK"),
+        when(isErr, concat(lit(" ERROR["), (lit(100) + hmod(8, 900)).cast("string"), lit("]: "),
+          element_at(wordsArr, (hmod(9, words.length) + 1).cast("int")), lit(" failed")))
+          .otherwise(lit("")))).otherwise(lit(""))
+    val malformed = hmod(10, 50) === 0 // ~2% dead-letter rows
+    val text = when(malformed,
+        when(hmod(11, 2) === 0, lit(null).cast("string")).otherwise(lit("CALL truncated(")))
+      .otherwise(concat(sev, lit(" "), body, callPart))
+    val ts = timestamp_micros(
+      lit(baseMicros) + pmod(xxhash64(col("cid")), lit(86400L)) * 1000000L +
+        col("turn_idx").cast("long") * 30000000L)
+
+    base.select(
+      format_string("conv%06d", col("cid")).as("conv_id"),
+      col("turn_idx"),
+      role.as("role"),
+      text.as("text"),
+      tool.as("tool"),
+      ts.cast("timestamp").as("ts"))
+  }
+
   /** tools dimension (broadcast-join enrichment; FIXTURES.md §2). */
   def toolsDim: Seq[(String, String, String, Boolean)] =
     ToolVocab.map { t =>

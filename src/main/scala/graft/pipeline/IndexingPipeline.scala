@@ -24,7 +24,7 @@ object IndexingPipeline {
   final case class Config(
       routingExpr: String = "hash_mod((tool,conv_id), 200)",
       maxPartitions: Int = Routing.DefaultMaxPartitions,
-      saltBuckets: Int = 16,
+      saltChunk: Int = 1024, // turns per range-salt chunk (rollup skew defusal)
       tagCap: Int = 1000, // packager.rs:43-48
       shufflePartitions: Int = 32)
 
@@ -49,11 +49,13 @@ object IndexingPipeline {
   def parseEnrichRoute(input: DataFrame, tools: DataFrame, roles: DataFrame,
                        cfg: Config): (DataFrame, DataFrame) = {
     val parsed = DocParser.parse(input, DocParser.Lenient)
-    val tokenized = parsed.valid
-      .withColumn("tokens", Tokenizers.default(col("text")))
+    // NOTE: tokens are NOT materialized here — an array<string> per row
+    // would dominate the shuffle and cache footprint of everything
+    // downstream; splitAggregates re-derives terms from `text` after the
+    // routed repartition, where the explode is narrow and cache-local.
     // broadcast-join enrichment replaces the routing/index-config lookup
     // (SURVEY.md §2.8); left join: unknown tool keeps the row, sink null.
-    val enriched = tokenized
+    val enriched = parsed.valid
       .join(broadcast(tools), Seq("tool"), "left")
       .join(broadcast(roles), Seq("role"), "left")
     val routed = Routing.withPartitionId(
@@ -63,39 +65,47 @@ object IndexingPipeline {
 
   /** Per-conversation rollup with the per-turn text-equality invariant:
     * turns concatenated in (turn_idx) order. `sort_array(collect_list(...))`
-    * makes the result independent of shuffle arrival order; the salted
-    * two-phase variant defuses a hot conv_id (R4): partial lists per
-    * (conv_id, salt), then flatten + sort at the final combine. */
+    * makes the result independent of shuffle arrival order.
+    *
+    * The salted variant defuses a hot conv_id (R4) with RANGE salting:
+    * salt = turn_idx / chunk, so every salt bucket is a CONTIGUOUS turn
+    * range. Each bucket sorts its own ≤chunk turns and pre-joins its text
+    * partial; the final per-conv combine only sorts a handful of chunk
+    * structs and concatenates their strings — the hot conversation's final
+    * reducer does O(#chunks) comparisons instead of re-sorting all its turns
+    * (a hashed salt would force exactly that, keeping the skew tail). */
   def conversationRollup(routed: DataFrame, salted: Boolean, cfg: Config): DataFrame = {
     val turnStruct = struct(col("turn_idx"), col("text"))
-    val base =
-      if (!salted) {
-        routed.groupBy(col("conv_id"))
-          .agg(collect_list(turnStruct).as("_turns"),
-               count(lit(1)).as("n_turns"),
-               sum(when(col("call_status") === "ERR" || col("severity") === "ERROR", 1L)
-                 .otherwise(0L)).as("n_errors"),
-               min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      } else {
-        routed
-          .withColumn("_salt", pmod(xxhash64(col("turn_idx")), lit(cfg.saltBuckets)))
-          .groupBy(col("conv_id"), col("_salt"))
-          .agg(collect_list(turnStruct).as("_p_turns"),
-               count(lit(1)).as("_p_n"),
-               sum(when(col("call_status") === "ERR" || col("severity") === "ERROR", 1L)
-                 .otherwise(0L)).as("_p_err"),
-               min(col("ts")).as("_p_min"), max(col("ts")).as("_p_max"))
-          .groupBy(col("conv_id"))
-          .agg(flatten(collect_list(col("_p_turns"))).as("_turns"),
-               sum(col("_p_n")).as("n_turns"),
-               sum(col("_p_err")).as("n_errors"),
-               min(col("_p_min")).as("first_ts"), max(col("_p_max")).as("last_ts"))
-      }
-    base
-      .withColumn("_sorted", sort_array(col("_turns")))
-      .withColumn("rollup_text",
-        array_join(transform(col("_sorted"), t => t.getField("text")), "\n"))
-      .drop("_turns", "_sorted")
+    val isErr = when(col("call_status") === "ERR" || col("severity") === "ERROR", 1L).otherwise(0L)
+    if (!salted) {
+      routed.groupBy(col("conv_id"))
+        .agg(collect_list(turnStruct).as("_turns"),
+             count(lit(1)).as("n_turns"),
+             sum(isErr).as("n_errors"),
+             min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .withColumn("rollup_text",
+          array_join(transform(sort_array(col("_turns")), t => t.getField("text")), "\n"))
+        .drop("_turns")
+    } else {
+      val chunk = math.max(1, cfg.saltChunk)
+      routed
+        .withColumn("_chunk", (col("turn_idx") / lit(chunk)).cast("long"))
+        .groupBy(col("conv_id"), col("_chunk"))
+        .agg(collect_list(turnStruct).as("_p_turns"),
+             count(lit(1)).as("_p_n"),
+             sum(isErr).as("_p_err"),
+             min(col("ts")).as("_p_min"), max(col("ts")).as("_p_max"))
+        .withColumn("_p_text",
+          array_join(transform(sort_array(col("_p_turns")), t => t.getField("text")), "\n"))
+        .groupBy(col("conv_id"))
+        .agg(collect_list(struct(col("_chunk"), col("_p_text"))).as("_chunks"),
+             sum(col("_p_n")).as("n_turns"),
+             sum(col("_p_err")).as("n_errors"),
+             min(col("_p_min")).as("first_ts"), max(col("_p_max")).as("last_ts"))
+        .withColumn("rollup_text",
+          array_join(transform(sort_array(col("_chunks")), c => c.getField("_p_text")), "\n"))
+        .drop("_chunks")
+    }
   }
 
   /** Split-level aggregates per routed partition — SplitMetadata analog
@@ -104,7 +114,7 @@ object IndexingPipeline {
     * packager.rs:230-273 + num_terms()). */
   def splitAggregates(routed: DataFrame, cfg: Config): DataFrame = {
     val termStats = routed
-      .select(col("partition_id"), explode(col("tokens")).as("term"))
+      .select(col("partition_id"), explode(Tokenizers.default(col("text"))).as("term"))
       .groupBy("partition_id")
       .agg(countDistinct(col("term")).as("term_cardinality"),
            count(lit(1)).as("postings_count"))
@@ -148,35 +158,74 @@ object IndexingPipeline {
     val batchId = store.currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
     val (tools, roles) = dims(spark)
     val (routedRaw, deadLetter) = parseEnrichRoute(input, tools, roles, cfg)
+    val timing = sys.env.contains("GRAFT_TIMING")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (timing) System.err.println(f"[timing] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     val routed = routedRaw
       .repartition(cfg.shufflePartitions, col("partition_id"))
       .persist()
     try {
+      if (timing) timed("materialize") { routed.count() } // isolate parse+shuffle+cache cost
       // fan-out sink 1: per-tool error index
       val errorIndex = routed.filter(col("call_status") === "ERR" || col("severity") === "ERROR")
-      errorIndex.write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("sink").parquet(s"$outDir/error_index/batch-$batchId")
+      timed("error_index") {
+        errorIndex.write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("sink").parquet(s"$outDir/error_index/batch-$batchId")
+      }
       // fan-out sink 2: per-conversation rollup
       val rollup = conversationRollup(routed, salted, cfg)
-      rollup.write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$outDir/rollup/batch-$batchId")
+      timed("rollup") {
+        rollup.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$outDir/rollup/batch-$batchId")
+      }
       // fan-out sink 3: dead letter
-      deadLetter.write.mode("overwrite").parquet(s"$outDir/dead_letter/batch-$batchId")
+      timed("dead_letter") {
+        deadLetter.write.mode("overwrite").parquet(s"$outDir/dead_letter/batch-$batchId")
+      }
 
-      val counts = SinkCounts(
-        errorIndex = errorIndex.count(),
-        rollup = rollup.count(),
-        deadLetter = deadLetter.count())
-      val checksum = routedChecksum(routed)
+      // error/rollup counts + routed checksum + valid-row count in ONE
+      // aggregate job over the persisted frame (each extra action costs
+      // serial plan+schedule time that caps scaling efficiency). Dead-letter
+      // count = input − valid: parse partitions the input exactly two ways,
+      // and count(*) over the raw input is answered from parquet footers —
+      // no third parse pass.
+      val (counts, checksum) = timed("counts+checksum") {
+        val r = routed.agg(
+          sum(when(col("call_status") === "ERR" || col("severity") === "ERROR", 1L)
+            .otherwise(0L)).as("errors"),
+          count_distinct(col("conv_id")).as("rollups"),
+          count(lit(1)).as("valid"),
+          sum(xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx"))
+            .cast("decimal(38,0)")).as("hsum")).collect()(0)
+        val hsum = r.getDecimal(3)
+        val cks =
+          if (hsum == null) 0L
+          else hsum.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+        (SinkCounts(
+          errorIndex = Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          rollup = r.getLong(1),
+          deadLetter = input.count() - r.getLong(2)), cks)
+      }
 
-      val splits = splitAggregates(routed, cfg).collect().toSeq.map { r =>
+      val splits = timed("split_aggs") {
+        splitAggregates(routed, cfg)
+          // NTZ-safe: convert to epoch µs inside the plan — collecting raw
+          // ts columns yields LocalDateTime for TIMESTAMP_NTZ inputs
+          .withColumn("_start_us", unix_micros(col("time_range_start").cast("timestamp_ltz")))
+          .withColumn("_end_us", unix_micros(col("time_range_end").cast("timestamp_ltz")))
+          .collect()
+      }.toSeq.map { r =>
         Manifest.SplitEntry(
           splitId = s"split-$batchId-p${r.getAs[Long]("partition_id")}",
           partitionId = r.getAs[Long]("partition_id"),
           numDocs = r.getAs[Long]("num_docs"),
           uncompressedBytes = r.getAs[Long]("uncompressed_docs_size_in_bytes"),
-          timeRangeStartMicros = micros(r.getAs[java.sql.Timestamp]("time_range_start")),
-          timeRangeEndMicros = micros(r.getAs[java.sql.Timestamp]("time_range_end")),
+          timeRangeStartMicros = Option(r.getAs[Any]("_start_us")).map(_.asInstanceOf[Long]).getOrElse(0L),
+          timeRangeEndMicros = Option(r.getAs[Any]("_end_us")).map(_.asInstanceOf[Long]).getOrElse(0L),
           tags = r.getAs[scala.collection.Seq[String]]("tags").toSeq,
           termCardinality = Option(r.getAs[Any]("term_cardinality")).map(_.asInstanceOf[Long]).getOrElse(0L),
           postingsCount = Option(r.getAs[Any]("postings_count")).map(_.asInstanceOf[Long]).getOrElse(0L),
@@ -189,6 +238,4 @@ object IndexingPipeline {
     } finally routed.unpersist()
   }
 
-  private def micros(t: java.sql.Timestamp): Long =
-    if (t == null) 0L else t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

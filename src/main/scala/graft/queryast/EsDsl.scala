@@ -1,0 +1,105 @@
+package graft.queryast
+
+import graft.util.Json
+import QueryAst._
+
+/** Elasticsearch-compatible query DSL → QueryAst.
+  *
+  * Reference: quickwit-query/src/elastic_query_dsl (~1,200 LoC) converts
+  * the ES JSON DSL (`query_string`, `bool`, `range`, `match`, `match_phrase`,
+  * `match_bool_prefix`, `multi_match`, `term`, `terms`, `exists`,
+  * `match_all`/`match_none`, `wildcard`) into the same QueryAst this package
+  * compiles to Column predicates — so the DSL layer is pure parsing.
+  */
+object EsDsl {
+
+  def parse(json: String, defaultFields: Seq[String] = Seq("text")): QueryAst =
+    node(Json.parse(json), defaultFields)
+
+  private type Obj = Map[String, Any]
+
+  private def node(v: Any, df: Seq[String]): QueryAst = {
+    val m = v.asInstanceOf[Obj]
+    require(m.size == 1, s"expected a single query key, got ${m.keys.mkString(",")}")
+    val (kind, body) = m.head
+    kind match {
+      case "match_all"  => MatchAll
+      case "match_none" => MatchNone
+      case "bool"       => boolQuery(body.asInstanceOf[Obj], df)
+      case "term"       => fieldParam(body) { case (f, p) => Term(f, str(value(p, "value"))) }
+      case "terms" =>
+        fieldParam(body) { case (f, vs) =>
+          TermSet(f, vs.asInstanceOf[Seq[Any]].map(str)) }
+      case "exists" => Exists(str(body.asInstanceOf[Obj]("field")))
+      case "range" =>
+        fieldParam(body) { case (f, p) =>
+          val o = p.asInstanceOf[Obj]
+          Range(f, gte = o.get("gte"), gt = o.get("gt"), lte = o.get("lte"), lt = o.get("lt")) }
+      case "match" =>
+        fieldParam(body) { case (f, p) =>
+          val (q, op) = p match {
+            case o: Obj @unchecked => (str(o("query")), o.getOrElse("operator", "or"))
+            case s => (str(s), "or")
+          }
+          FullText(f, q, if (op == "and") ModeAnd else ModeOr) }
+      case "match_phrase" =>
+        fieldParam(body) { case (f, p) =>
+          val (q, slop) = p match {
+            case o: Obj @unchecked =>
+              (str(o("query")), o.getOrElse("slop", 0.0).asInstanceOf[Double].toInt)
+            case s => (str(s), 0)
+          }
+          FullText(f, q, ModePhrase(slop)) }
+      case "match_bool_prefix" =>
+        fieldParam(body) { case (f, p) => PhrasePrefix(f, str(value(p, "query"))) }
+      case "multi_match" =>
+        val o = body.asInstanceOf[Obj]
+        val q = str(o("query"))
+        val fields = o.get("fields").map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(df)
+        val alts = fields.map(f => FullText(f, q, ModeOr): QueryAst)
+        if (alts.size == 1) alts.head else Bool(should = alts)
+      case "wildcard" =>
+        fieldParam(body) { case (f, p) => Wildcard(f, str(value(p, "value"))) }
+      case "query_string" =>
+        val o = body.asInstanceOf[Obj]
+        val fields = o.get("default_field").map(f => Seq(str(f)))
+          .orElse(o.get("fields").map(_.asInstanceOf[Seq[Any]].map(str)))
+          .getOrElse(df)
+        UserQueryParser.parse(str(o("query")), fields)
+      case "boost" =>
+        val o = body.asInstanceOf[Obj]
+        Boost(node(o("query"), df), o.getOrElse("value", 1.0).asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(s"unsupported ES query kind: $other")
+    }
+  }
+
+  private def boolQuery(o: Obj, df: Seq[String]): QueryAst = {
+    def clauses(key: String): Seq[QueryAst] = o.get(key) match {
+      case None => Nil
+      case Some(xs: Seq[Any] @unchecked) => xs.map(node(_, df))
+      case Some(one) => Seq(node(one, df))
+    }
+    Bool(must = clauses("must"), mustNot = clauses("must_not"),
+      should = clauses("should"), filterQ = clauses("filter"))
+  }
+
+  /** `{"field": <param>}` single-entry objects used by term/match/etc. */
+  private def fieldParam(body: Any)(f: (String, Any) => QueryAst): QueryAst = {
+    val m = body.asInstanceOf[Obj]
+    require(m.size == 1, s"expected one field, got ${m.keys.mkString(",")}")
+    f(m.head._1, m.head._2)
+  }
+
+  /** Accept both `{"value": x}` objects and bare values. */
+  private def value(p: Any, key: String): Any = p match {
+    case o: Obj @unchecked => o.getOrElse(key, o)
+    case other => other
+  }
+
+  private def str(v: Any): String = v match {
+    case s: String => s
+    case d: Double => if (d == d.toLong) d.toLong.toString else d.toString
+    case b: Boolean => b.toString
+    case other => String.valueOf(other)
+  }
+}

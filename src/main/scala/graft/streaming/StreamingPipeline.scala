@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.pipeline.IndexingPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming compilation of the same indexing pipeline: the
+  * reference's unbounded sources + checkpointed micro-batch commits
+  * (SURVEY.md §2.9 T1–T3) map to `readStream` + `foreachBatch` +
+  * `checkpointLocation`.
+  *
+  * - Source offsets/checkpoint deltas (checkpoint.rs:290,401,481) →
+  *   Spark's streaming checkpoint dir: a restarted query resumes after the
+  *   last committed batch, never reprocessing it (exactly-once sink writes
+  *   for idempotent/append sinks).
+  * - Commit triggers (indexer.rs:578-608: timeout / num-docs / drain) →
+  *   `Trigger.ProcessingTime` / `maxFilesPerTrigger` / `AvailableNow`.
+  * - The per-batch fan-out mirrors the batch job exactly — one shared
+  *   `parseEnrichRoute` is the single source of stage semantics.
+  */
+object StreamingPipeline {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  /** Start the streaming job over a growing parquet directory. Each
+    * micro-batch runs parse → enrich → route and appends to the three sinks
+    * plus per-batch split stats. `AvailableNow` drains what exists and
+    * stops — the bounded-source test/ops mode; pass a processing-time
+    * trigger for continuous tailing. */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+            checkpointDir: String, cfg: IndexingPipeline.Config = IndexingPipeline.Config(),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (tools, roles) = IndexingPipeline.dims(spark)
+    val stream = spark.readStream
+      .schema(transcriptSchema)
+      .option("maxFilesPerTrigger", 16) // 5 MiB-batch analog: bounded batches
+      .parquet(inputDir)
+
+    stream.writeStream
+      .queryName("graft-indexing")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (routed0, dead) = IndexingPipeline.parseEnrichRoute(batch, tools, roles, cfg)
+        val routed = routed0.repartition(cfg.shufflePartitions, col("partition_id")).persist()
+        try {
+          routed.filter(col("call_status") === "ERR" || col("severity") === "ERROR")
+            .write.mode("append").option("compression", "zstd")
+            .partitionBy("sink").parquet(s"$outDir/error_index")
+          dead.write.mode("append").parquet(s"$outDir/dead_letter")
+          IndexingPipeline.splitAggregates(routed, cfg)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/split_stats")
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming per-conversation rollup with event-time windows + watermark —
+    * the one place the Spark build goes beyond the reference (which has no
+    * watermarks, §2.9 T4): bounded state for an unbounded stream. Append
+    * mode emits a window only once its watermark passes — suitable for a
+    * parquet sink. */
+  def windowedRollup(spark: SparkSession, inputDir: String, outDir: String,
+                     checkpointDir: String, window: String = "1 hour",
+                     watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream.schema(transcriptSchema).parquet(inputDir)
+    val agg = stream
+      .filter(col("text").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+           min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+           array_join(transform(sort_array(collect_list(struct(col("turn_idx"), col("text")))),
+             t => t.getField("text")), "\n").as("rollup_text"))
+    agg.writeStream
+      .queryName("graft-windowed-rollup")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

@@ -68,8 +68,10 @@ class IndexingPipelineSpec extends SparkTestBase {
   test("salted and unsalted rollups agree exactly (skew defusal is lossless)") {
     val turns = TranscriptGen.turns(numConvs = 40, avgTurns = 10, skewed = true)
     val outS = tmpDir("pipeS"); val outU = tmpDir("pipeU")
-    val rs = IndexingPipeline.run(spark, df(turns), outS, delta1, salted = true).get
-    val ru = IndexingPipeline.run(spark, df(turns), outU, delta1, salted = false).get
+    // saltChunk=4 forces real multi-chunk range salting (avg 10 turns/conv)
+    val cfg = IndexingPipeline.Config(saltChunk = 4)
+    val rs = IndexingPipeline.run(spark, df(turns), outS, delta1, cfg, salted = true).get
+    val ru = IndexingPipeline.run(spark, df(turns), outU, delta1, cfg, salted = false).get
     assert(rs.counts === ru.counts)
     assert(rs.routedChecksum === ru.routedChecksum)
     val s = spark.read.parquet(s"$outS/rollup/batch-1")
@@ -119,7 +121,9 @@ class IndexingPipelineSpec extends SparkTestBase {
     val cfg = IndexingPipeline.Config()
     val (routed, _) = IndexingPipeline.parseEnrichRoute(df(turns), tools, roles, cfg)
     val aggs = IndexingPipeline.splitAggregates(routed, cfg)
-    val direct = routed.select(col("partition_id"), explode(col("tokens")).as("t"))
+    val direct = routed
+      .select(col("partition_id"),
+        explode(graft.functions.Tokenizers.default(col("text"))).as("t"))
       .groupBy("partition_id")
       .agg(countDistinct("t").as("tc"), count(lit(1)).as("pc"))
     val a = aggs.select("partition_id", "term_cardinality", "postings_count")

@@ -1,0 +1,84 @@
+package graft.queryast
+
+import org.scalatest.funsuite.AnyFunSuite
+import QueryAst._
+
+/** ES query DSL → QueryAst golden tests (reference DSL surface:
+  * quickwit-query/src/elastic_query_dsl; docs/reference/es_compatible_api.md). */
+class EsDslSpec extends AnyFunSuite {
+
+  private def p(json: String) = EsDsl.parse(json, Seq("text"))
+
+  test("match_all / match_none") {
+    assert(p("""{"match_all": {}}""") === MatchAll)
+    assert(p("""{"match_none": {}}""") === MatchNone)
+  }
+
+  test("term: object and bare-value forms") {
+    assert(p("""{"term": {"lang": {"value": "de"}}}""") === Term("lang", "de"))
+    assert(p("""{"term": {"lang": "de"}}""") === Term("lang", "de"))
+    assert(p("""{"term": {"code": 42}}""") === Term("code", "42"))
+  }
+
+  test("terms set") {
+    assert(p("""{"terms": {"lang": ["de", "fr"]}}""") === TermSet("lang", Seq("de", "fr")))
+  }
+
+  test("exists") {
+    assert(p("""{"exists": {"field": "tool"}}""") === Exists("tool"))
+  }
+
+  test("range with mixed bounds") {
+    assert(p("""{"range": {"v": {"gte": 10, "lt": 20}}}""") ===
+      Range("v", gte = Some(10.0), lt = Some(20.0)))
+  }
+
+  test("match: bare, object, operator and") {
+    assert(p("""{"match": {"text": "quick fox"}}""") ===
+      FullText("text", "quick fox", ModeOr))
+    assert(p("""{"match": {"text": {"query": "quick fox", "operator": "and"}}}""") ===
+      FullText("text", "quick fox", ModeAnd))
+  }
+
+  test("match_phrase with slop; match_bool_prefix") {
+    assert(p("""{"match_phrase": {"text": "quick fox"}}""") ===
+      FullText("text", "quick fox", ModePhrase(0)))
+    assert(p("""{"match_phrase": {"text": {"query": "quick fox", "slop": 2}}}""") ===
+      FullText("text", "quick fox", ModePhrase(2)))
+    assert(p("""{"match_bool_prefix": {"text": {"query": "quick bro"}}}""") ===
+      PhrasePrefix("text", "quick bro"))
+  }
+
+  test("multi_match across fields") {
+    assert(p("""{"multi_match": {"query": "fox", "fields": ["title", "body"]}}""") ===
+      Bool(should = Seq(FullText("title", "fox", ModeOr), FullText("body", "fox", ModeOr))))
+  }
+
+  test("wildcard") {
+    assert(p("""{"wildcard": {"source": {"value": "src1*"}}}""") === Wildcard("source", "src1*"))
+  }
+
+  test("bool with array and single-object clauses") {
+    assert(p(
+      """{"bool": {
+        |  "must": [{"term": {"a": "1"}}, {"term": {"b": "2"}}],
+        |  "must_not": {"exists": {"field": "c"}},
+        |  "filter": [{"range": {"v": {"gte": 5}}}],
+        |  "should": [{"term": {"d": "4"}}]
+        |}}""".stripMargin) ===
+      Bool(
+        must = Seq(Term("a", "1"), Term("b", "2")),
+        mustNot = Seq(Exists("c")),
+        should = Seq(Term("d", "4")),
+        filterQ = Seq(Range("v", gte = Some(5.0)))))
+  }
+
+  test("query_string delegates to the query-language parser") {
+    assert(p("""{"query_string": {"query": "lang:de AND fox", "default_field": "body"}}""") ===
+      Bool(must = Seq(Term("lang", "de"), Term("body", "fox"))))
+  }
+
+  test("unsupported kind rejected") {
+    intercept[IllegalArgumentException](p("""{"fuzzy": {"text": "foo"}}"""))
+  }
+}
