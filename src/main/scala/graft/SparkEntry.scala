@@ -465,10 +465,11 @@ object SparkEntry {
     "d_embed_cosine" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      val a = e.select(col("vec_id").as("vec_id1"), col("v").as("v1"))
-      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+        .withColumn("n", Similarity.norm(col("v"))) // norm once, not per pair
+      val a = e.select(col("vec_id").as("vec_id1"), col("v").as("v1"), col("n").as("n1"))
+      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"), col("n").as("n2"))
       a.crossJoin(b).filter(col("vec_id1") < col("vec_id2"))
-        .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+        .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)
         .select(col("vec_id1"), col("vec_id2"), round(col("cos"), 4).as("cos"))
         .orderBy("vec_id1", "vec_id2")

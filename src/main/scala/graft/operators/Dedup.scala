@@ -45,13 +45,32 @@ object Dedup {
 
   /** MinHash signatures via explode + `numHashes` min-aggregates — each
     * aggregate is codegen'd and map-side partial, so this is one narrow pass
-    * + one shuffle on doc_id regardless of corpus size. */
+    * + one shuffle on doc_id regardless of corpus size. Double hashing: the
+    * i-th hash derives from TWO base hashes per shingle (a ⊕ rot(b, i)) —
+    * 2 xxhash64 calls per shingle instead of `numHashes` (the standard
+    * Kirsch–Mitzenmacher trick; xor-rotate instead of a+i·b keeps ANSI mode
+    * from throwing on long overflow). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         shingleK: Int, numHashes: Int): DataFrame = {
-    val exploded = df.select(id.as("doc_id"),
-        explode(shingles(text, shingleK)).as("shingle"))
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(col("shingle"), lit(seed))).as(s"_m$seed"))
+    // row-wise shingling: explode the POSITIONS (cheap ints) and take one
+    // codegen'd substr per row — building a 10k-element array per doc via
+    // higher-order lambdas costs ~10× more; duplicate shingles are harmless
+    // under min-aggregation, so no distinct pass either
+    val norm = lower(regexp_replace(coalesce(text, lit("")), "\\s+", " "))
+    val exploded = df
+      .select(id.as("doc_id"), norm.as("_n"))
+      .where(length(col("_n")) >= shingleK)
+      .select(col("doc_id"), col("_n"),
+        explode(sequence(lit(0), length(col("_n")) - shingleK)).as("_i"))
+      .select(col("doc_id"), col("_n").substr(col("_i") + 1, lit(shingleK)).as("shingle"))
+      .withColumn("_a", xxhash64(col("shingle"), lit(1)))
+      .withColumn("_b", xxhash64(col("shingle"), lit(2)))
+    def rot(c: Column, i: Int): Column =
+      if (i % 64 == 0) c
+      else call_function("shiftleft", c, lit(i % 64))
+        .bitwiseOR(call_function("shiftrightunsigned", c, lit(64 - (i % 64))))
+    val mins = (0 until numHashes).map(i =>
+      min(col("_a").bitwiseXOR(rot(col("_b"), i + 1))).as(s"_m$i"))
     exploded.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
@@ -125,12 +144,34 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash as a DataFrame aggregation: explode tokens, then 64 codegen'd
+    * `sum(±1)` bit aggregates and one fingerprint-assembly projection —
+    * identical math to `simhash` (same xxhash64, bit order, sign rule) but
+    * ~10× faster than the interpreted nested array lambdas of the
+    * expression form. Docs with zero tokens vanish (no rows to aggregate) —
+    * they cannot be near-dups of anything, so near-dup callers don't care.
+    * Returns (doc_id, fp). */
+  def simhashDf(df: DataFrame, id: Column, tokens: Column): DataFrame = {
+    val h = xxhash64(col("_tok"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(call_function("shiftright", h, lit(i)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"_s$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.select(id.as("doc_id"), explode(tokens).as("_tok"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
   /** SimHash near-dup pairs: block on the 4 16-bit chunks (any pair within
     * hamming distance ≤ 3 of a 64-bit hash shares at least one exact 16-bit
     * chunk — pigeonhole), join per block, verify by hamming distance. */
   def simhashNearDups(df: DataFrame, id: Column, tokens: Column,
                       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(id.as("doc_id"), simhash(tokens).as("fp"))
+    val fp = simhashDf(df, id, tokens)
     val blocks = fp.select(col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("fp"), b.cast("int") * 16).bitwiseAND(0xFFFFL))))

@@ -24,10 +24,15 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * queries: (query_id, qvec) — SMALL (broadcast); corpus: (vec_id, vec).
     * One narrow pass over the corpus per partition + a top-k per query
-    * (window rank over a k·|Q|-sized intermediate). */
+    * (window rank over a k·|Q|-sized intermediate). Norms are computed ONCE
+    * per vector before the join — inside the join each pair would pay the
+    * norm aggregates again (3× the lambda work). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col("vec"), col("qvec")))
+    val c = corpus.withColumn("_cn", norm(col("vec")))
+    val q = queries.withColumn("_qn", norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("_cn") * col("_qn")))
+      .drop("_cn", "_qn")
       .filter(col("vec_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -73,6 +73,11 @@ class DedupSpec extends SparkTestBase {
     assert(fps(1L) === fps(3L)) // simhash is order-insensitive
     assert(fps(1L) !== fps(4L))
 
+    // the aggregate form must agree bit-for-bit with the expression form
+    val aggFps = Dedup.simhashDf(df, col("doc_id"), col("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aggFps === fps)
+
     val pairs = Dedup.simhashNearDups(df, col("doc_id"), col("tokens"), maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.keySet.contains((1L, 2L)))
