@@ -484,6 +484,23 @@ object SparkEntry {
         .select("doc_id", "n_bytes", "blob_hash", "n_frames")
     }),
 
+    // ---- input formats: 1→N doc expansion (S6, the OTLP-spans shape) -----
+    "p_input_expand" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          explode(sequence(lit(1), (pmod(col("event_id"), lit(3)) + 1).cast("int")))
+            .as("span_idx"))
+        .withColumn("span_id",
+          concat(col("event_id").cast("string"), lit("#"), col("span_idx").cast("string")))),
+
+    // ---- list_fields / field caps (§2.11): schema introspection ----------
+    "s_list_fields" -> ((s, d) => {
+      import s.implicits._
+      Seq("events", "documents", "lineitem").flatMap { tbl =>
+        t(s, d, tbl).schema.fields.map(f => (tbl, f.name, f.dataType.simpleString))
+      }.toDF("table_name", "field", "spark_type").orderBy("table_name", "field")
+    }),
+
     // ---- doc → JSON back-projection (P6) ---------------------------------
     "p_doc_to_json" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -821,6 +838,11 @@ object SparkEntry {
 
     "s_search_stream" ->
       "SELECT user_id FROM events WHERE event_type = 'click'",
+
+    "p_input_expand" ->
+      """SELECT event_id, CAST(s AS INT) AS span_idx,
+        |  CAST(event_id AS VARCHAR) || '#' || CAST(s AS VARCHAR) AS span_id
+        |FROM events, unnest(generate_series(1, CAST(event_id % 3 + 1 AS BIGINT))) t(s)""".stripMargin,
 
     "p_doc_to_json" ->
       """SELECT doc_id,

@@ -55,17 +55,42 @@ object DocParser {
     * (with an error label), the two DocProcessor outputs. */
   final case class ParseResult(valid: DataFrame, deadLetter: DataFrame)
 
+  /** DocProcessor counters (doc_processor.rs:239-337). */
+  final case class Counters(numValidDocs: Long, numDocParsingErrors: Long, numBytesTotal: Long)
+
+  /** Parse with an attached [[org.apache.spark.sql.Observation]]: after ANY
+    * action on the returned `valid` frame, `counters(obs)` yields the exact
+    * per-batch totals without a second pass — the `observe()` analog of the
+    * reference's per-doc counter accumulation. */
+  def parseObserved(input: DataFrame, mode: Mode = Lenient)
+      : (ParseResult, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (parse(input, mode, Some(obs)), obs)
+  }
+
+  /** Block until the observation's action completes and unpack counters. */
+  def counters(obs: org.apache.spark.sql.Observation): Counters = {
+    val m = obs.get
+    Counters(m("num_valid_docs").asInstanceOf[Long],
+      m("num_doc_parsing_errors").asInstanceOf[Long],
+      m("num_bytes_total").asInstanceOf[Long])
+  }
+
   /** Full parse stage. `observe`d metrics: num_valid_docs,
     * num_doc_parsing_errors, num_bytes_total (doc_processor.rs counters).
-    * Read them via a QueryExecutionListener or `observedMetrics` after an
-    * action on `valid`. */
-  def parse(input: DataFrame, mode: Mode = Lenient): ParseResult = {
+    * Read them via `parseObserved`, a QueryExecutionListener, or
+    * `observedMetrics` after an action on `valid`. */
+  def parse(input: DataFrame, mode: Mode = Lenient,
+            observation: Option[org.apache.spark.sql.Observation] = None): ParseResult = {
     val flagged = input.withColumn("_valid", isValid(col("text")))
-    val observed = flagged.observe(
-      "doc_processor",
+    val metrics = Seq(
       sum(when(col("_valid"), 1L).otherwise(0L)).as("num_valid_docs"),
       sum(when(!col("_valid"), 1L).otherwise(0L)).as("num_doc_parsing_errors"),
       sum(coalesce(octet_length(col("text")).cast("long"), lit(0L))).as("num_bytes_total"))
+    val observed = observation match {
+      case Some(obs) => flagged.observe(obs, metrics.head, metrics.tail: _*)
+      case None => flagged.observe("doc_processor", metrics.head, metrics.tail: _*)
+    }
     val valid = withParsedColumns(observed.filter(col("_valid")).drop("_valid"))
     val dead = flagged.filter(!col("_valid")).drop("_valid")
       .withColumn("error_label",

@@ -35,6 +35,15 @@ class DocParserSpec extends SparkTestBase {
     assert(bytes === (t1.length + t2.length + "CALL truncated(".length).toLong)
   }
 
+  test("observed counters match the fixture exactly (2 valid / 2 errors / bytes)") {
+    val (r, obs) = DocParser.parseObserved(fixture)
+    r.valid.count() // any action on `valid` completes the observation
+    val c = DocParser.counters(obs)
+    assert(c.numValidDocs === 2L)
+    assert(c.numDocParsingErrors === 2L)
+    assert(c.numBytesTotal === (t1.length + t2.length + "CALL truncated(".length).toLong)
+  }
+
   test("dead letter rows are labeled by failure kind") {
     val labels = DocParser.parse(fixture).deadLetter
       .select("conv_id", "turn_idx", "error_label").collect()

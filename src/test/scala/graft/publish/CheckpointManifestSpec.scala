@@ -77,6 +77,33 @@ class CheckpointManifestSpec extends AnyFunSuite {
     assert(store.currentSnapshot().get.splits.map(_.splitId) === Seq("merged"))
   }
 
+  test("commit race: two writers from the same base — exactly one wins") {
+    // the failpoint-around-commit analog (indexer.rs:583,607): two stores
+    // read the same snapshot, both try to publish; the atomic rename makes
+    // exactly one the winner, the loser's delta then fails contiguity
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val a = new Store(dir); val b = new Store(dir)
+    a.publish(Seq(entry("base")), Set.empty, delta("src", -1, 100))
+    val ra = a.publish(Seq(entry("a2")), Set.empty, delta("src", 100, 200))
+    val rb = b.publish(Seq(entry("b2")), Set.empty, delta("src", 100, 200))
+    assert(ra.isRight && rb.isLeft) // same delta → second is a duplicate
+    assert(a.currentSnapshot().get.splits.map(_.splitId) === Seq("base", "a2"))
+  }
+
+  test("crash before publish: staged data invisible, rerun of the delta succeeds") {
+    // crash-safety: sink files staged but publish never ran → snapshot is
+    // unchanged; rerunning the same batch publishes normally (staged files
+    // are orphans for GC, never visible state)
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val store = new Store(dir)
+    store.publish(Seq(entry("a")), Set.empty, delta("src", -1, 100))
+    // "crash": nothing published for delta 100..200 — state still at 100
+    assert(store.currentSnapshot().get.checkpoint === Map("src" -> 100L))
+    // rerun the batch end-to-end: succeeds exactly once
+    assert(store.publish(Seq(entry("b")), Set.empty, delta("src", 100, 200)).isRight)
+    assert(store.publish(Seq(entry("b_dup")), Set.empty, delta("src", 100, 200)).isLeft)
+  }
+
   test("snapshot JSON round-trip is exact") {
     val snap = Snapshot(7L, Seq(entry("x\"esc\n", 5L)), Map("p0" -> 10L, "p1" -> 20L))
     assert(Manifest.fromJson(Manifest.toJson(snap)) === snap)
