@@ -382,6 +382,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(corpus, queries, k = 3, nlist = 8, nprobe = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- doc fetch phase (K7): top-k ids → fetch stored columns ----------
+    "k_doc_fetch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val top = ev.orderBy(desc("value"), asc("event_id")).limit(5)
+        .select(col("event_id").as("_hit_id"))
+      ev.join(top, ev("event_id") === col("_hit_id"))
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "x_quality" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -403,6 +423,14 @@ object SparkEntry {
     "x_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "x_bpe_tokens" -> ((s, d) => // lookaround split — not RE2-expressible; rows-only
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    "x_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     // ---- bytes / ip leaf parse (P4) --------------------------------------
     "p_bytes_parse" -> ((s, d) =>
@@ -733,6 +761,11 @@ object SparkEntry {
 
     "k_topk" ->
       "SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10",
+
+    "k_doc_fetch" ->
+      """WITH top AS (SELECT event_id FROM events ORDER BY value DESC, event_id ASC LIMIT 5)
+        |SELECT e.event_id, e.event_type, e.user_id, e.value
+        |FROM events e JOIN top USING (event_id) ORDER BY e.event_id""".stripMargin,
 
     "k_search_after" ->
       """SELECT event_id, value FROM events

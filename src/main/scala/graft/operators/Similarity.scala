@@ -79,16 +79,45 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
-  /** IVF-style coarse quantization: assign every vector to the nearest of
-    * `nlist` deterministic anchor vectors (anchors = hash-derived unit
-    * directions), probe `nprobe` nearest lists per query. */
-  def ivfAssign(vec: Column, dim: Int, nlist: Int): Column = {
-    val scores = transform(sequence(lit(0), lit(nlist - 1)), c => {
+  /** Per-centroid projection scores for IVF coarse quantization (anchors =
+    * deterministic hash-derived directions). */
+  private def ivfScores(vec: Column, nlist: Int): Column =
+    transform(sequence(lit(0), lit(nlist - 1)), c => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(c + 10000, i)),
         lit(0.0d), (acc, v) => acc + v)
       struct(proj.as("score"), c.as("list_id"))
     })
-    array_max(scores).getField("list_id")
+
+  /** IVF-style coarse quantization: assign every vector to the nearest of
+    * `nlist` deterministic anchor vectors. */
+  def ivfAssign(vec: Column, dim: Int, nlist: Int): Column =
+    array_max(ivfScores(vec, nlist)).getField("list_id")
+
+  /** The `nprobe` best lists for a query vector (descending score). */
+  def ivfProbeLists(vec: Column, nlist: Int, nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(ivfScores(vec, nlist))), 1, nprobe),
+      s => s.getField("list_id"))
+
+  /** IVF ANN: corpus vectors bucket into their nearest list; each query
+    * probes its `nprobe` best lists; exact cosine re-rank inside the probed
+    * lists. At scale the list assignment is a narrow pass and the join is
+    * keyed on list_id — candidate volume ≈ nprobe/nlist of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpusL = corpus
+      .withColumn("list_id", ivfAssign(col("vec"), dim = 0, nlist))
+      .withColumn("_cn", norm(col("vec")))
+    val queriesL = queries
+      .select(col("*"), explode(ivfProbeLists(col("qvec"), nlist, nprobe)).as("list_id"))
+      .withColumn("_qn", norm(col("qvec")))
+    val scored = corpusL.join(broadcast(queriesL), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
   }
 }

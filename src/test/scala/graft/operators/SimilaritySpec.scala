@@ -55,6 +55,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(ranks === (1 to lsh.length).toSeq)
   }
 
+  test("ivf top-k: probed candidates carry exact cosines; own-list hit guaranteed") {
+    import spark.implicits._
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 4, nlist = 4, nprobe = 4)
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(math.abs(r.getDouble(2) - brute(r.getLong(1))) < 1e-9)
+    }
+    // nprobe = nlist probes every list → exact recall
+    assert(ivf.map(_.getLong(1)).toSet === brute.keySet)
+  }
+
+  test("ivf probe lists: descending score order, assign = first probe") {
+    import spark.implicits._
+    val df = corpus.select(col("vec_id"),
+      Similarity.ivfAssign(col("vec"), dim = 2, nlist = 4).as("assigned"),
+      Similarity.ivfProbeLists(col("vec"), nlist = 4, nprobe = 2).as("probes"))
+    df.collect().foreach { r =>
+      val probes = r.getAs[scala.collection.Seq[Int]]("probes")
+      assert(probes.length === 2)
+      assert(probes.head === r.getAs[Int]("assigned"))
+    }
+  }
+
   test("ivf assignment is deterministic and in range") {
     import spark.implicits._
     val df = corpus.select(col("vec_id"), Similarity.ivfAssign(col("vec"), dim = 2, nlist = 4).as("list"))
