@@ -273,6 +273,10 @@ object SparkEntry {
         round(percentile(col("value"), lit(0.75)), 4).as("p75"),
         round(percentile(col("value"), lit(0.95)), 4).as("p95"))),
 
+    "a_percentiles_approx" -> ((s, d) => // sketch-based (aggregation.md:811-862); rows-only
+      Aggs.percentilesApprox(t(s, d, "events"), col("value"), Seq(0.5, 0.95))
+        .select(explode(col("values")).as("value_approx"))),
+
     "a_cardinality" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("user_cardinality"))
@@ -535,6 +539,17 @@ object SparkEntry {
         col("doc_id"),
         to_json(struct(col("doc_id"), col("lang"), col("source")),
           Map("ignoreNullFields" -> "false")).as("doc_json"))),
+
+    // ---- JSON doc parse (P1): from_json round-trip -----------------------
+    "p_json_parse" -> ((s, d) => {
+      val asJson = to_json(struct(col("doc_id"), col("lang"), col("source")))
+      val parsed = from_json(asJson,
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, lang STRING, source STRING"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        parsed.getField("lang").as("lang2"),
+        parsed.getField("source").as("source2"))
+    }),
 
     // ---- janitor: delete-task rewrite (T7) -------------------------------
     "m_delete_rewrite" -> ((s, d) => {
@@ -881,6 +896,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS VARCHAR) AS doc_json
         |FROM documents""".stripMargin,
+
+    "p_json_parse" ->
+      "SELECT doc_id, lang AS lang2, source AS source2 FROM documents",
 
     "m_delete_rewrite" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
