@@ -58,11 +58,20 @@ object Tokenizers {
     default(folded)
   }
 
-  /** en_stem: default + a lightweight Porter-style suffix stripper expressed
-    * as regexp rewrites (covers the common -ing/-ed/-ies/-s families; full
-    * Porter parity is documented as out of scope — parity is at counts
-    * level, and our tests pin THIS function's output). */
-  def enStem(c: Column): Column =
+  /** en_stem: default + the REAL Porter stemmer (tantivy's
+    * Stemmer(Language::English) = Porter; TokenizersSpec pins the published
+    * Porter example vocabulary). Per-token loop ⇒ a UDF over the token
+    * array — token payloads are tiny, so this sits off the byte-bandwidth
+    * hot path; `enStemLite` below remains the UDF-free approximation. */
+  private val stemArray =
+    udf((tokens: Seq[String]) => if (tokens == null) tokens else tokens.map(PorterStemmer.stem))
+
+  def enStem(c: Column): Column = stemArray(default(c))
+
+  /** UDF-free regex approximation of en_stem (common -ing/-ed/-ies/-s
+    * families only) for fully-codegen'd pipelines that can trade stemming
+    * accuracy for it. */
+  def enStemLite(c: Column): Column =
     transform(default(c), t => stemToken(t))
 
   private def stemToken(t: Column): Column = {

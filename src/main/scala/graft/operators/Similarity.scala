@@ -45,27 +45,32 @@ object Similarity {
   private def planeComponent(p: Column, i: Column): Column =
     (pmod(xxhash64(p, i), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
 
-  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long. */
-  def rhpSignature(vec: Column, bits: Int): Column =
+  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long.
+    * `planeOffset` selects an independent plane family (one per LSH table —
+    * tables MUST use distinct hyperplanes or multi-table probing degenerates
+    * to re-salting one partition of the space and adds no recall). */
+  def rhpSignature(vec: Column, bits: Int, planeOffset: Column = lit(0)): Column =
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)), p => {
         val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(p, i)),
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, i) => v * planeComponent(p + planeOffset, i)),
           lit(0.0d), (acc, v) => acc + v)
         when(proj > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))
       }),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
-  /** LSH-bucketed ANN: candidates share the signature bucket (multi-probe via
-    * `tables` independent bit-offsets), exact cosine re-rank inside buckets.
-    * At 100 TB the bucket join replaces the cross product — shuffle keyed on
-    * (table, bucket), bounded bucket sizes. */
+  /** LSH-bucketed ANN: candidates share the signature bucket in ≥1 of
+    * `tables` independent tables (each with its own hyperplane family),
+    * exact cosine re-rank inside buckets. At 100 TB the bucket join replaces
+    * the cross product — shuffle keyed on (table, bucket), bounded bucket
+    * sizes; recall is tuned by (bits↓, tables↑). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 12, tables: Int = 4): DataFrame = {
     def sigTables(df: DataFrame, vecCol: String): DataFrame =
       df.select(col("*"),
         posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
-          xxhash64(rhpSignature(col(vecCol), bits), t))))
+          rhpSignature(col(vecCol), bits, t * bits))))
         .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
     val corpusB = sigTables(corpus, "vec")
     val queriesB = sigTables(queries, "qvec")

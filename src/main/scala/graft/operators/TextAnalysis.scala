@@ -69,15 +69,18 @@ object TextAnalysis {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(Tokenizers.whitespace(text))
 
-  /** BPE-ish subword count: splits at whitespace, punctuation boundaries,
-    * letter/digit boundaries and every 4 chars inside long words — a cheap
-    * deterministic token-budget estimator (≈ chars/4 floor for prose). */
+  /** BPE-ish subword count: pieces are maximal letter runs, maximal digit
+    * runs, and individual punctuation chars; each run costs ⌈len/4⌉ subwords
+    * — a cheap deterministic token-budget estimator (≈ chars/4 for prose).
+    * Run-extraction form (no regex lookarounds) so an ANSI-SQL oracle can
+    * mirror it exactly. */
   def bpeishTokenCount(text: Column): Column = {
     val t = coalesce(text, lit(""))
-    val pieces = filter(split(t, "(?<=\\s)|(?=\\s)|(?<=[\\p{Punct}])|(?=[\\p{Punct}])|(?<=[0-9])(?=[^0-9])|(?<=[^0-9])(?=[0-9])"),
-      p => trim(p) =!= "")
-    aggregate(pieces, lit(0L),
-      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+    def runCost(pattern: String): Column =
+      aggregate(regexp_extract_all(t, lit(pattern), lit(0)), lit(0L),
+        (acc, r) => acc + ceil(length(r).cast("double") / 4.0).cast("long"))
+    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long")
+    runCost("[A-Za-z]+") + runCost("[0-9]+") + punct
   }
 
   /** Document fingerprint: order-sensitive rolling hash over the token

@@ -21,16 +21,20 @@ object DateTimeParse {
 
   val SecondsBound = 17987443200L // quickwit-datetime/src/date_time_parsing.rs:150-178
 
-  /** Epoch integer of unknown unit → TimestampType (µs precision). */
-  def inferUnitTimestamp(epoch: Column): Column = {
+  /** Epoch integer of unknown unit → epoch micros (BIGINT). Kept separate
+    * from the timestamp form so callers can stay in integer space (zone- and
+    * range-free: secs-unit inputs can exceed the year-2262 ns range). */
+  def inferUnitMicros(epoch: Column): Column = {
     val a = abs(epoch)
-    val micros =
-      when(a < SecondsBound, epoch * 1000000L)                 // secs → µs
-        .when(a < SecondsBound * 1000L, epoch * 1000L)         // ms → µs
-        .when(a < SecondsBound * 1000000L, epoch)              // µs
-        .otherwise((epoch / 1000L).cast("long"))               // ns → µs
-    timestamp_micros(micros)
+    when(a < SecondsBound, epoch * 1000000L)                   // secs → µs
+      .when(a < SecondsBound * 1000L, epoch * 1000L)           // ms → µs
+      .when(a < SecondsBound * 1000000L, epoch)                // µs
+      .otherwise((epoch / 1000L).cast("long"))                 // ns → µs
   }
+
+  /** Epoch integer of unknown unit → TimestampType (µs precision). */
+  def inferUnitTimestamp(epoch: Column): Column =
+    timestamp_micros(inferUnitMicros(epoch))
 
   /** Unit name the inference picks (for tests / introspection). */
   def inferredUnit(epoch: Column): Column = {

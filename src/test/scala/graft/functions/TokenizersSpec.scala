@@ -54,8 +54,13 @@ class TokenizersSpec extends SparkTestBase {
       Seq("read", "file", "2", "parse"))
   }
 
-  test("en_stem: common suffix families") {
+  test("en_stem: real Porter over the default token stream") {
     assert(evalTokens("running jumped stories glasses tokens", Tokenizers.enStem) ===
+      Seq("run", "jump", "stori", "glass", "token"))
+  }
+
+  test("en_stem_lite: regex approximation keeps its pinned output") {
+    assert(evalTokens("running jumped stories glasses tokens", Tokenizers.enStemLite) ===
       Seq("runn", "jump", "stori", "glass", "token"))
   }
 
