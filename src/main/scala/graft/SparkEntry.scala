@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.Tokenizers
-import graft.operators.{Aggs, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Snippets, Tokenizers}
+import graft.operators.{Aggs, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
 import graft.publish.MergePolicy
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
@@ -444,6 +444,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- BM25 _score ranking (K1: default hit order of the reference) ----
+    "k_topk_score" -> ((s, d) =>
+      Scoring.topKByScore(t(s, d, "documents"), col("doc_id"), col("text"),
+        Seq("spark", "vector"), k = 10)
+        .withColumn("score", round(col("score"), 4))),
+
+    // ---- fetch-phase snippets (fetch_docs.rs:50-130) ---------------------
+    "k_doc_fetch_snippets" -> ((s, d) => {
+      import graft.queryast.QueryAst._
+      t(s, d, "documents")
+        .filter(Term("text", "spark").toColumn(docResolver))
+        .orderBy("doc_id").limit(5)
+        .select(col("doc_id"),
+          Snippets.snippet(col("text"), "spark", 30).as("snippet_spark"),
+          Snippets.snippet(col("text"), "vector", 30).as("snippet_vector"))
+    }),
+
     // ---- doc fetch phase (K7): top-k ids → fetch stored columns ----------
     "k_doc_fetch" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -581,6 +598,29 @@ object SparkEntry {
             .as("span_idx"))
         .withColumn("span_id",
           concat(col("event_id").cast("string"), lit("#"), col("span_idx").cast("string")))),
+
+    // ---- tag-pruned scan (tag_pruning.rs:40-160 at root.rs:1041) ---------
+    // Builds a two-batch table whose file groups carry disjoint role tags,
+    // then scans with a Term query on the tag field: the non-matching file
+    // group is pruned at metadata level (never opened — pinned by
+    // TranscriptTableSpec via inputFiles) and the result still equals the
+    // plain filter, which is what the oracle checks.
+    "s_tag_pruned_scan" -> ((s, d) => {
+      import graft.queryast.QueryAst
+      val dir = java.nio.file.Files.createTempDirectory("graft-tagscan").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      val tr = transcripts(s, d)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      table.append(tr.filter(col("role") === "tool"), delta(-1, 1),
+        numFiles = 1, tagFields = Seq("role"))
+      table.append(tr.filter(col("role") =!= "tool"), delta(1, 2),
+        numFiles = 2, tagFields = Seq("role"))
+      val q = QueryAst.Term("role", "tool")
+      table.scan(query = Some(q), tagFields = Set("role"))
+        .filter(q.toColumn(FieldResolver(Set.empty, Nil)))
+        .groupBy("role").agg(count(lit(1)).as("n_docs"))
+    }),
 
     // ---- list_fields / field caps (§2.11): schema introspection ----------
     "s_list_fields" -> ((s, d) => {
@@ -998,6 +1038,42 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON doc_id1 = s1.doc_id JOIN sizes s2 ON doc_id2 = s2.doc_id
         |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+
+    "k_topk_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |       WHERE term IN ('spark', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id,
+        |        ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |          * (tf.tf * (1.2 + 1.0))
+        |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(w), 4) AS score
+        |FROM w GROUP BY doc_id ORDER BY sum(w) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "k_doc_fetch_snippets" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_extract(text, '(?i)(.{0,30})(spark)(.{0,30})', 2) <> ''
+        |       THEN regexp_extract(text, '(?i)(.{0,30})(spark)(.{0,30})', 1) || '<b>'
+        |            || regexp_extract(text, '(?i)(.{0,30})(spark)(.{0,30})', 2) || '</b>'
+        |            || regexp_extract(text, '(?i)(.{0,30})(spark)(.{0,30})', 3) END AS snippet_spark,
+        |  CASE WHEN regexp_extract(text, '(?i)(.{0,30})(vector)(.{0,30})', 2) <> ''
+        |       THEN regexp_extract(text, '(?i)(.{0,30})(vector)(.{0,30})', 1) || '<b>'
+        |            || regexp_extract(text, '(?i)(.{0,30})(vector)(.{0,30})', 2) || '</b>'
+        |            || regexp_extract(text, '(?i)(.{0,30})(vector)(.{0,30})', 3) END AS snippet_vector
+        |FROM documents
+        |WHERE ' ' || lower(text) || ' ' LIKE '% spark %'
+        |ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    "s_tag_pruned_scan" -> (TranscriptsCte +
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM transcripts WHERE role = 'tool' GROUP BY role""".stripMargin),
 
     "sim_ann_brute" -> AnnExactTopKSql,
     "sim_ann_lsh" -> AnnExactTopKSql,

@@ -2,8 +2,10 @@ package graft.sources
 
 import graft.model.Turn
 import graft.publish.{Checkpoint, Manifest}
+import graft.queryast.{QueryAst, TagPruning}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Iceberg-layout transcript table: `data/part-*.parquet` +
   * `metadata/snapshot-N.json` (per-file row counts + ts min/max — the
@@ -19,54 +21,96 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
 
   val store = new Manifest.Store(dir)
 
+  /** Tag-value cap per field, as the reference's tag extraction cap —
+    * above it the field is not tagged exhaustively (no `field!` marker)
+    * and stays unprunable (default_mapper tag cap = 1000). */
+  val TagValueCap = 1000
+
   /** Write a batch of turns as one published "split" set: one parquet file
     * group per writer partition, then atomically publish manifest entries
-    * with per-file stats + a checkpoint delta. */
-  def append(df: DataFrame, delta: Checkpoint.Delta, numFiles: Int = 4): Unit = {
+    * with per-file stats (+ optional `field:value` tags) + a checkpoint
+    * delta.
+    *
+    * Stats are aggregated from the CACHED writer partitions keyed by
+    * `spark_partition_id()` — not by re-reading the written output (the r1
+    * self-re-read paid a second full scan of every batch). Writer partition
+    * i maps to output file `part-0000i-*` by Spark's naming contract. */
+  def append(df: DataFrame, delta: Checkpoint.Delta, numFiles: Int = 4,
+             tagFields: Seq[String] = Nil): Unit = {
     val batchId = store.currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
     val subdir = s"$dir/data/batch-$batchId"
-    df.repartition(numFiles).write.mode("overwrite")
-      .option("compression", "zstd") // docstore zstd analog (indexer.rs:529-537)
-      .parquet(subdir)
-    // per-file stats → manifest entries
-    val stats = spark.read.parquet(subdir)
-      .withColumn("_file", input_file_name())
-      .groupBy("_file")
-      .agg(count(lit(1)).as("num_docs"),
-           sum(coalesce(octet_length(col("text")).cast("long"), lit(0L))).as("bytes"),
-           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
-      .collect()
-    val entries = stats.zipWithIndex.map { case (r, i) =>
-      Manifest.SplitEntry(
-        splitId = s"split-$batchId-$i",
-        partitionId = 0L,
-        numDocs = r.getAs[Long]("num_docs"),
-        uncompressedBytes = r.getAs[Long]("bytes"),
-        timeRangeStartMicros = tsMicros(r.getAs[java.sql.Timestamp]("min_ts")),
-        timeRangeEndMicros = tsMicros(r.getAs[java.sql.Timestamp]("max_ts")),
-        tags = Nil, termCardinality = 0L, postingsCount = 0L,
-        numMergeOps = 0, deleteOpstamp = 0L,
-        files = Seq(r.getAs[String]("_file")))
-    }
-    store.publish(entries.toSeq, Set.empty, delta) match {
-      case Left(err) => throw new IllegalStateException(s"publish failed: $err")
-      case Right(_)  => ()
-    }
+    val rep = df.repartition(numFiles).persist()
+    try {
+      val tagAggs = tagFields.flatMap { f =>
+        Seq(collect_set(col(f)).as(s"_tagvals_$f"),
+            countDistinct(col(f)).as(s"_tagcard_$f"))
+      }
+      val aggs =
+        Seq(count(lit(1)).as("num_docs"),
+            sum(coalesce(octet_length(col("text")).cast("long"), lit(0L))).as("bytes"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts")) ++ tagAggs
+      val statsF = rep.groupBy(spark_partition_id().as("_pid")).agg(aggs.head, aggs.tail: _*)
+      rep.write.mode("overwrite")
+        .option("compression", "zstd") // docstore zstd analog (indexer.rs:529-537)
+        .parquet(subdir)
+      val stats = statsF.collect()
+      // writer partition id ↔ file via the part-NNNNN name prefix
+      val filesByPid = java.nio.file.Files.list(java.nio.file.Paths.get(subdir))
+        .iterator().asScala.map(_.toString)
+        .filter(f => f.contains("/part-") && f.endsWith(".parquet"))
+        .map(f => f.substring(f.lastIndexOf("/part-") + 6, f.lastIndexOf("/part-") + 11).toInt -> f)
+        .toMap
+      val entries = stats.map { r =>
+        val pid = r.getAs[Int]("_pid")
+        val tags = tagFields.flatMap { f =>
+          val vals = r.getAs[scala.collection.Seq[Any]](s"_tagvals_$f")
+          if (r.getAs[Long](s"_tagcard_$f") > TagValueCap) Nil
+          else s"$f!" +: vals.map(v => s"$f:$v").sorted
+        }
+        Manifest.SplitEntry(
+          splitId = s"split-$batchId-$pid",
+          partitionId = 0L,
+          numDocs = r.getAs[Long]("num_docs"),
+          uncompressedBytes = r.getAs[Long]("bytes"),
+          timeRangeStartMicros = tsMicros(r.getAs[Any]("min_ts")),
+          timeRangeEndMicros = tsMicros(r.getAs[Any]("max_ts")),
+          tags = tags, termCardinality = 0L, postingsCount = 0L,
+          numMergeOps = 0, deleteOpstamp = 0L,
+          files = Seq(filesByPid(pid)))
+      }
+      store.publish(entries.toSeq, Set.empty, delta) match {
+        case Left(err) => throw new IllegalStateException(s"publish failed: $err")
+        case Right(_)  => ()
+      }
+    } finally rep.unpersist()
   }
 
-  private def tsMicros(t: java.sql.Timestamp): Long =
-    if (t == null) 0L else t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def tsMicros(v: Any): Long = v match {
+    case null                  => 0L
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case d: java.time.LocalDateTime => // TIMESTAMP_NTZ collects as LocalDateTime
+      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+    case other => throw new IllegalArgumentException(s"unexpected ts type: $other")
+  }
 
-  /** Scan with metadata-level time pruning: only files overlapping
-    * [startMicros, endMicros) are read. Returns an empty frame when the
-    * manifest prunes everything (the count-from-metadata fast path's cousin). */
-  def scan(startMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
+  /** Scan with metadata-level pruning: only files overlapping
+    * [startMicros, endMicros) whose tag sets may match `query` are read
+    * (time pruning: root.rs:1037-1052; tag pruning: tag_pruning.rs:40-160
+    * via [[graft.queryast.TagPruning]]). Returns an empty frame when the
+    * manifest prunes everything (the count-from-metadata fast path's
+    * cousin). Pruning never changes results — the query predicate must still
+    * be applied to the scanned rows. */
+  def scan(startMicros: Option[Long] = None, endMicros: Option[Long] = None,
+           query: Option[QueryAst] = None,
+           tagFields: Set[String] = Set.empty): DataFrame = {
     val snap = store.currentSnapshot()
       .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
+    val tagFilter = query.map(q => TagPruning.extract(q, tagFields))
     val files = snap.splits
       .filter { s =>
         startMicros.forall(s.timeRangeEndMicros >= _) &&
-          endMicros.forall(s.timeRangeStartMicros < _)
+          endMicros.forall(s.timeRangeStartMicros < _) &&
+          tagFilter.forall(TagPruning.mayMatch(_, s.tags.toSet))
       }
       .flatMap(_.files)
     if (files.isEmpty) spark.emptyDataset(spark.implicits.newProductEncoder[Turn]).toDF()

@@ -105,4 +105,104 @@ class DedupSpec extends SparkTestBase {
     assert(out.keySet === Set((1L, 2L))) // cross-bucket pair (1,3) blocked
     assert(math.abs(out((1L, 2L)) - 0.6) < 1e-9)
   }
+
+  test("prefix filtering bounds candidates under a universal token") {
+    import spark.implicits._
+    // 40 docs, each 10 tokens: a shared universal token ("the") plus 9
+    // doc-unique tokens. No pair reaches jaccard 0.8, and the universal
+    // token must NOT pair every doc with every other (the r1 hot-gram d²
+    // blowup): with prefix filtering the shared gram ranks LAST (max df), so
+    // prefixes (|x| − ⌈0.8·10⌉ + 1 = 3 grams) hold only unique tokens.
+    val docs = (1 to 40).map { i =>
+      (i.toLong, "the" +: (1 to 9).map(j => s"tok_${i}_$j"), "b")
+    }
+    val df = docs.toDF("doc_id", "tokens", "bucket")
+    val grams = df.select(col("doc_id"), col("bucket"),
+      explode(array_distinct(Dedup.wordNgrams(col("tokens"), 1))).as("gram"))
+    val nCand = Dedup.ngramJaccardCandidates(grams, threshold = 0.8).count()
+    assert(nCand === 0L) // naive gram join would have produced 40·39/2 = 780
+    val pairs = Dedup.ngramJaccardPairs(df, col("doc_id"), col("tokens"),
+      col("bucket"), n = 1, threshold = 0.8)
+    assert(pairs.count() === 0L)
+  }
+
+  test("prefix filtering stays exact: agrees with brute-force jaccard") {
+    import spark.implicits._
+    // overlapping token sets around the 0.5 threshold, incl. a universal token
+    val docs = Seq(
+      (1L, Seq("the", "a", "b", "c", "d")),
+      (2L, Seq("the", "a", "b", "c", "x")),   // ∩=4, ∪=6 → 0.667
+      (3L, Seq("the", "a", "y", "z", "w")),   // vs 1: ∩=2, ∪=8 → 0.25
+      (4L, Seq("the", "a", "b", "c", "d")))   // exact dup of 1
+    val df = docs.map { case (i, t) => (i, t, "b") }.toDF("doc_id", "tokens", "bucket")
+    val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("tokens"),
+        col("bucket"), n = 1, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = (for {
+      (i, a) <- docs; (j, b) <- docs if i < j
+      inter = a.toSet.intersect(b.toSet).size.toDouble
+      jac = inter / (a.toSet ++ b.toSet).size
+      if jac >= 0.5
+    } yield (i, j) -> jac).toMap
+    assert(got.keySet === brute.keySet)
+    brute.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, k) }
+  }
+
+  test("minhash est_jaccard tracks true shingle jaccard within ε") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " x"),           // very near dup
+      (3L, base.replace("quick", "rapid")),
+      (4L, "completely different material on columnar query execution engines")
+    ).toDF("doc_id", "text")
+    // true shingle jaccard per pair
+    def shingleSet(t: String): Set[String] = {
+      val n = t.toLowerCase.replaceAll("\\s+", " ")
+      (0 to n.length - 5).map(i => n.substring(i, i + 5)).toSet
+    }
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val est = Dedup.minhashNearDups(df, col("doc_id"), col("text"),
+        shingleK = 5, numHashes = 64, bands = 32, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((a, b), e) =>
+      val sa = shingleSet(texts(a)); val sb = shingleSet(texts(b))
+      val truth = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // 64 hashes → σ ≈ sqrt(j(1−j)/64) ≤ 0.0625; allow 3σ
+      assert(math.abs(e - truth) <= 0.19, s"pair ($a,$b): est $e vs true $truth")
+    }
+  }
+
+  test("simhash near-dup quality: planted near-dups recalled, empty docs keep fp 0") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i")
+    // 5 planted near-dup pairs (one substitution), 20 unrelated docs
+    val planted = (0 until 5).flatMap { p =>
+      val tokens = base.map(w => s"${w}_g$p")
+      Seq((100L + p * 2, tokens), (101L + p * 2, tokens.updated(7, s"sub_$p")))
+    }
+    val noise = (0 until 20).map(i => (200L + i, (1 to 30).map(j => s"n_${i}_$j")))
+    val df = (planted ++ noise).toDF("doc_id", "tokens")
+    val pairs = Dedup.simhashNearDups(df, col("doc_id"), col("tokens"), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash is approximate: a 1-of-30-token substitution lands at expected
+    // hamming ≈ 5 and the 16-bit-block candidate generation is only complete
+    // for hamming ≤ 3 — deterministically 3 of 5 planted pairs surface here.
+    // Pin recall ≥ 3/5 and PERFECT precision (no noise pair survives).
+    val planted5 = (0 until 5).map(p => (100L + p * 2, 101L + p * 2)).toSet
+    assert(pairs.subsetOf(planted5), s"non-planted pair matched: ${pairs -- planted5}")
+    assert((pairs & planted5).size >= 3, s"recall too low: found $pairs")
+
+    // ADVICE r1: empty-token docs fingerprint as 0 when keepEmpty = true
+    val withEmpty = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, Seq.empty[String]))
+      .toDF("doc_id", "tokens")
+    val fps = Dedup.simhashDf(withEmpty, col("doc_id"), col("tokens"), keepEmpty = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(2L) === 0L && fps(3L) === 0L)
+    val emptyPair = Dedup.simhashNearDups(withEmpty, col("doc_id"), col("tokens"), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emptyPair.contains((2L, 3L))) // identical empties match at hamming 0
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 scoring pins: hand-computed score on a 3-doc corpus, plus the
+  * ordering properties the reference's collector relies on. */
+class ScoringSpec extends SparkTestBase {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark spark runs fast"),   // tf(spark)=2, dl=4
+      (2L, "spark is a planner"),      // tf(spark)=1, dl=4
+      (3L, "nothing relevant here no") // dl=4
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25 matches the hand-computed Lucene-variant formula") {
+    val got = Scoring.bm25(corpus, col("doc_id"), col("text"), Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=4, df(spark)=2 → idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def tfPart(tf: Double) = tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))
+    assert(got.keySet === Set(1L, 2L)) // doc 3 has no hit → absent
+    assert(math.abs(got(1L) - idf * tfPart(2)) < 1e-12)
+    assert(math.abs(got(2L) - idf * tfPart(1)) < 1e-12)
+  }
+
+  test("higher tf wins at equal dl; doc_id breaks exact ties") {
+    val top = Scoring.topKByScore(corpus, col("doc_id"), col("text"), Seq("spark"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(1L, 2L))
+  }
+
+  test("rarer terms outweigh common ones (idf)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common word word"),
+      (3L, "common filler text"),
+      (4L, "common another doc")
+    ).toDF("doc_id", "text")
+    val scores = Scoring.bm25(df, col("doc_id"), col("text"), Seq("common", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 holds the rare term → strictly highest score
+    assert(scores(1L) > scores.removed(1L).values.max)
+  }
+}
