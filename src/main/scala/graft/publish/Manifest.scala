@@ -11,7 +11,7 @@
 package graft.publish
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 object Manifest {
@@ -118,18 +118,27 @@ object Manifest {
         case Right(next) =>
           val kept = cur.splits.filterNot(s => replacedIds.contains(s.splitId))
           val snap = Snapshot(cur.snapshotId + 1, kept ++ staged, next.positions)
-          val tmp = metaDir.resolve(s".snapshot-${snap.snapshotId}.json.tmp")
-          val dst = metaDir.resolve(s"snapshot-${snap.snapshotId}.json")
-          Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
-          try {
-            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-            Right(snap)
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Files.deleteIfExists(tmp)
-              Left(s"lost commit race for snapshot ${snap.snapshotId}")
-          }
+          commitSnapshot(snap)
       }
+    }
+
+    /** Compare-and-swap commit of snapshot N: write-temp + hard-link to the
+      * final name. POSIX `rename` silently REPLACES an existing target (so
+      * an ATOMIC_MOVE-based commit lets both racers "win" and loses one
+      * writer's batch); `link(2)` fails with EEXIST when the target exists —
+      * exactly one concurrent committer of the same snapshot id succeeds,
+      * across processes, and losers see a Left. */
+    private[publish] def commitSnapshot(snap: Snapshot): Either[String, Snapshot] = {
+      val tmp = metaDir.resolve(s".snapshot-${snap.snapshotId}.${java.util.UUID.randomUUID()}.tmp")
+      val dst = metaDir.resolve(s"snapshot-${snap.snapshotId}.json")
+      Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(dst, tmp)
+        Right(snap)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Left(s"lost commit race for snapshot ${snap.snapshotId}")
+      } finally Files.deleteIfExists(tmp)
     }
   }
 }

@@ -90,9 +90,13 @@ object EsDsl {
     f(m.head._1, m.head._2)
   }
 
-  /** Accept both `{"value": x}` objects and bare values. */
+  /** Accept both `{"value": x}` objects and bare values. Object form MUST
+    * carry the expected key — a typo'd parameter is a parse error, mirroring
+    * the reference DSL's strict deserialization (not a silent stringify). */
   private def value(p: Any, key: String): Any = p match {
-    case o: Obj @unchecked => o.getOrElse(key, o)
+    case o: Obj @unchecked =>
+      o.getOrElse(key, throw new IllegalArgumentException(
+        s"expected parameter '$key', got {${o.keys.mkString(",")}}"))
     case other => other
   }
 

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * `checkpointLocation`.
   *
   * - Source offsets/checkpoint deltas (checkpoint.rs:290,401,481) →
-  *   Spark's streaming checkpoint dir: a restarted query resumes after the
-  *   last committed batch, never reprocessing it (exactly-once sink writes
-  *   for idempotent/append sinks).
+  *   Spark's streaming checkpoint dir. foreachBatch replays a batch whose
+  *   commit did not land (at-least-once), so every sink write below is made
+  *   IDEMPOTENT by writing into a `batch_id=N` partition dir with overwrite
+  *   — a replayed batch replaces its own previous partial output instead of
+  *   appending duplicates, which restores end-to-end exactly-once.
   * - Commit triggers (indexer.rs:578-608: timeout / num-docs / drain) →
   *   `Trigger.ProcessingTime` / `maxFilesPerTrigger` / `AvailableNow`.
   * - The per-batch fan-out mirrors the batch job exactly — one shared
@@ -49,13 +51,15 @@ object StreamingPipeline {
         val (routed0, dead) = IndexingPipeline.parseEnrichRoute(batch, tools, roles, cfg)
         val routed = routed0.repartition(cfg.shufflePartitions, col("partition_id")).persist()
         try {
+          // batch-scoped partition dirs + overwrite ⇒ idempotent under
+          // foreachBatch replay (see class doc); readers see batch_id as a
+          // discovered partition column
           routed.filter(col("call_status") === "ERR" || col("severity") === "ERROR")
-            .write.mode("append").option("compression", "zstd")
-            .partitionBy("sink").parquet(s"$outDir/error_index")
-          dead.write.mode("append").parquet(s"$outDir/dead_letter")
+            .write.mode("overwrite").option("compression", "zstd")
+            .partitionBy("sink").parquet(s"$outDir/error_index/batch_id=$batchId")
+          dead.write.mode("overwrite").parquet(s"$outDir/dead_letter/batch_id=$batchId")
           IndexingPipeline.splitAggregates(routed, cfg)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$outDir/split_stats")
+            .write.mode("overwrite").parquet(s"$outDir/split_stats/batch_id=$batchId")
         } finally routed.unpersist()
         ()
       }

@@ -25,9 +25,28 @@ class BytesParseSpec extends SparkTestBase {
     assert(evalStr[String]("hello", c => BytesParse.toHexStr(c.cast("binary"))) === "68656c6c6f")
   }
 
-  test("IPv4 maps into IPv6 space; IPv6 passes through lowered") {
+  test("IPv4 maps into IPv6 space; IPv6 canonicalizes to RFC 5952") {
     assert(evalStr[String]("127.0.0.1", BytesParse.normalizeIp) === "::ffff:127.0.0.1")
     assert(evalStr[String]("2001:DB8::1", BytesParse.normalizeIp) === "2001:db8::1")
+  }
+
+  test("equal addresses normalize to one string (ADVICE r1)") {
+    // expansion variants of one address collapse
+    assert(evalStr[String]("0:0:0:0:0:0:0:1", BytesParse.normalizeIp) === "::1")
+    assert(evalStr[String]("::1", BytesParse.normalizeIp) === "::1")
+    // IPv4-mapped hex form and dotted form agree
+    assert(evalStr[String]("::FFFF:1.2.3.4", BytesParse.normalizeIp) === "::ffff:1.2.3.4")
+    assert(evalStr[String]("::ffff:102:304", BytesParse.normalizeIp) === "::ffff:1.2.3.4")
+    assert(evalStr[String]("1.2.3.4", BytesParse.normalizeIp) === "::ffff:1.2.3.4")
+    // longest zero-run compression, lowercase
+    assert(evalStr[String]("2001:0db8:0:0:1:0:0:1", BytesParse.normalizeIp) ===
+      "2001:db8::1:0:0:1")
+    assert(evalStr[String]("::", BytesParse.normalizeIp) === "::")
+  }
+
+  test("invalid addresses become NULL (parse error), not junk") {
+    for (bad <- Seq("999.1.1.1", "1.2.3", "1.2.3.4.5", "g::1", "1::2::3", "hello", ""))
+      assert(evalStr[String](bad, BytesParse.normalizeIp) === null, bad)
   }
 
   test("byFormat dispatch") {

@@ -77,17 +77,55 @@ class CheckpointManifestSpec extends AnyFunSuite {
     assert(store.currentSnapshot().get.splits.map(_.splitId) === Seq("merged"))
   }
 
-  test("commit race: two writers from the same base — exactly one wins") {
-    // the failpoint-around-commit analog (indexer.rs:583,607): two stores
-    // read the same snapshot, both try to publish; the atomic rename makes
-    // exactly one the winner, the loser's delta then fails contiguity
+  test("commit race: interleaved writers from the same base — exactly one CAS wins") {
+    // TRUE interleave (ADVICE r1): both writers read the same base snapshot
+    // BEFORE either commits, then race the commit itself. The hard-link CAS
+    // must let exactly one snapshot-2 land and surface a Left to the loser
+    // (a rename-based commit silently replaces the winner's file on POSIX).
     val dir = java.nio.file.Files.createTempDirectory("manifest").toString
     val a = new Store(dir); val b = new Store(dir)
     a.publish(Seq(entry("base")), Set.empty, delta("src", -1, 100))
-    val ra = a.publish(Seq(entry("a2")), Set.empty, delta("src", 100, 200))
-    val rb = b.publish(Seq(entry("b2")), Set.empty, delta("src", 100, 200))
-    assert(ra.isRight && rb.isLeft) // same delta → second is a duplicate
+    val base = a.currentSnapshot().get
+    // both writers computed their next snapshot from the SAME base
+    val snapA = Snapshot(base.snapshotId + 1, base.splits :+ entry("a2"), Map("src" -> 200L))
+    val snapB = Snapshot(base.snapshotId + 1, base.splits :+ entry("b2"), Map("src" -> 200L))
+    val ra = a.commitSnapshot(snapA)
+    val rb = b.commitSnapshot(snapB)
+    assert(ra.isRight && rb.isLeft)
+    // the surviving snapshot is the WINNER's, byte-for-byte — not the loser's
     assert(a.currentSnapshot().get.splits.map(_.splitId) === Seq("base", "a2"))
+    assert(b.currentSnapshot().get.splits.map(_.splitId) === Seq("base", "a2"))
+  }
+
+  test("commit race under real concurrency: N threads, no lost update") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val n = 8
+    val gate = new java.util.concurrent.CyclicBarrier(n)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        val s = new Store(dir) // one store per "process" — no shared lock
+        gate.await()
+        var published = false
+        var attempts = 0
+        while (!published && attempts < n + 2) {
+          // optimistic retry from the freshest snapshot, like a real indexer
+          val from = s.currentSnapshot().map(_.checkpoint("src")).getOrElse(-1L)
+          s.publish(Seq(entry(s"t$i-$attempts")), Set.empty,
+            delta("src", from, from + 100)) match {
+            case Right(_) => published = true
+            case Left(_)  => attempts += 1
+          }
+        }
+        results.add(published)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.size === n && !results.contains(false))
+    val finalSnap = new Store(dir).currentSnapshot().get
+    // every thread's batch landed exactly once; checkpoint advanced n×100
+    assert(finalSnap.splits.size === n)
+    assert(finalSnap.checkpoint === Map("src" -> (n * 100L - 1L))) // -1 + 8×100
   }
 
   test("crash before publish: staged data invisible, rerun of the delta succeeds") {

@@ -81,4 +81,11 @@ class EsDslSpec extends AnyFunSuite {
   test("unsupported kind rejected") {
     intercept[IllegalArgumentException](p("""{"fuzzy": {"text": "foo"}}"""))
   }
+
+  test("typo'd parameter key is a parse error, not a silent stringify (ADVICE r1)") {
+    intercept[IllegalArgumentException](p("""{"term": {"f": {"vale": "x"}}}"""))
+    intercept[IllegalArgumentException](p("""{"wildcard": {"f": {"pattern": "x*"}}}"""))
+    // the correct object form still parses
+    assert(p("""{"term": {"f": {"value": "x"}}}""") === Term("f", "x"))
+  }
 }
