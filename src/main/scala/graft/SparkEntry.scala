@@ -201,6 +201,15 @@ object SparkEntry {
       docStats.join(termStats, Seq("partition_id")).orderBy("partition_id")
     }),
 
+    "pipe_split_seal" -> ((s, d) => {
+      // T1 commit triggers: num-docs-target split sealing over the routed
+      // partitions (indexer.rs:578-608; test shape indexer.rs:733-870)
+      val tr = transcripts(s, d).filter(col("text").isNotNull)
+        .withColumn("partition_id", substring(col("conv_id"), 5, 20).cast("long") % 8)
+      graft.pipeline.SplitSealing.sealedSplits(tr, col("partition_id"), numDocsTarget = 500)
+        .orderBy("partition_id", "split_seq")
+    }),
+
     // ---- filters / query AST ------------------------------------------
     "f_term" -> ((s, d) =>
       t(s, d, "events").filter(col("event_type") === "error")
@@ -781,6 +790,16 @@ object SparkEntry {
         |  any_value(ts_agg.postings_count) AS postings_count
         |FROM tr JOIN ts_agg ON tr.partition_id = ts_agg.partition_id
         |GROUP BY tr.partition_id ORDER BY tr.partition_id""".stripMargin),
+
+    "pipe_split_seal" -> (TranscriptsCte +
+      """, tr AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 8 AS partition_id
+        |          FROM transcripts WHERE text IS NOT NULL),
+        |seq AS (SELECT partition_id,
+        |          CAST(floor((row_number() OVER (PARTITION BY partition_id ORDER BY conv_id, turn_idx) - 1) / 500.0) AS BIGINT) AS split_seq
+        |        FROM tr)
+        |SELECT partition_id, split_seq, CAST(count(*) AS BIGINT) AS num_docs,
+        |  CASE WHEN count(*) = 500 THEN 'num_docs_limit' ELSE 'drained' END AS commit_trigger
+        |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "f_term" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'error'",

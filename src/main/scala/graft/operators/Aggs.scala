@@ -40,22 +40,31 @@ object Aggs {
       .agg(count(lit(1)).as("doc_count"))
       .orderBy("key")
 
-  /** `date_histogram` with fixed_interval (aggregation.md; test
-    * rest-api-tests/scenarii/aggregations/0001-aggregations.yaml:1-20). */
-  def dateHistogram(df: DataFrame, ts: Column, fixedInterval: String): DataFrame = {
+  /** Bucket-key expression of `date_histogram` (fixed_interval + offset) —
+    * exposed so sub-aggregations can group by the same key. */
+  def dateHistogramKey(ts: Column, fixedInterval: String, offset: String = "0ms"): Column = {
     // NTZ-safe: parquet event times are TIMESTAMP_NTZ; unix_micros requires
     // an instant — with the session pinned to UTC the cast is the identity.
     val micros = unix_micros(ts.cast("timestamp_ltz"))
     val ivl = intervalMicros(fixedInterval)
-    df.groupBy(timestamp_micros((floor(micros / ivl) * ivl).cast("long")).as("key"))
-      .agg(count(lit(1)).as("doc_count"))
-      .orderBy("key")
+    val off = intervalMicros(offset)
+    timestamp_micros((floor((micros - off) / ivl) * ivl + off).cast("long"))
   }
 
+  /** `date_histogram` with fixed_interval and offset (aggregation.md; test
+    * rest-api-tests/scenarii/aggregations/0001-aggregations.yaml:1-20).
+    * Docs with a missing date are excluded, per ES. */
+  def dateHistogram(df: DataFrame, ts: Column, fixedInterval: String,
+                    offset: String = "0ms"): DataFrame =
+    df.filter(ts.isNotNull)
+      .groupBy(dateHistogramKey(ts, fixedInterval, offset).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("key")
+
   def intervalMicros(fixedInterval: String): Long = {
-    val m = "([0-9]+)(ms|s|m|h|d)".r
+    val m = "(-?)([0-9]+)(ms|s|m|h|d)".r
     fixedInterval match {
-      case m(n, u) =>
+      case m(sign, n, u) =>
         val unit = u match {
           case "ms" => 1000L
           case "s"  => 1000000L
@@ -63,7 +72,7 @@ object Aggs {
           case "h"  => 3600L * 1000000L
           case "d"  => 86400L * 1000000L
         }
-        n.toLong * unit
+        (if (sign == "-") -1L else 1L) * n.toLong * unit
       case other => throw new IllegalArgumentException(s"bad fixed_interval $other")
     }
   }

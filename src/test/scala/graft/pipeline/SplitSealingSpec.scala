@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the reference indexer's commit-trigger test shape
+  * (indexer.rs:733-870): num-docs target 4 → the 5th doc opens a second
+  * split; the first split records NumDocsLimit, the tail records Drained. */
+class SplitSealingSpec extends SparkTestBase {
+
+  private def turnsDf(n: Int, conv: String = "c0") = {
+    import spark.implicits._
+    (0 until n).map(i => (conv, i, 0L)).toDF("conv_id", "turn_idx", "partition_id")
+  }
+
+  test("seal at num_docs=4: 5 docs → splits of 4 (NumDocsLimit) + 1 (Drained)") {
+    val out = SplitSealing.sealedSplits(turnsDf(5), col("partition_id"), 4)
+      .orderBy("split_seq")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out === Seq((0L, 4L, "num_docs_limit"), (1L, 1L, "drained")))
+  }
+
+  test("exact multiple: the last full split still records NumDocsLimit") {
+    val out = SplitSealing.sealedSplits(turnsDf(8), col("partition_id"), 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(out === Set((0L, 4L, "num_docs_limit"), (1L, 4L, "num_docs_limit")))
+  }
+
+  test("assignment is deterministic and parallelism-invariant") {
+    import spark.implicits._
+    val df = (for (c <- 0 until 7; t <- 0 until 13)
+      yield (s"conv$c", t, (c % 3).toLong)).toDF("conv_id", "turn_idx", "partition_id")
+    val a = SplitSealing.withSplitSeq(df.repartition(1), col("partition_id"), 10)
+      .select("conv_id", "turn_idx", "split_seq").collect().map(_.toString).sorted.toSeq
+    val b = SplitSealing.withSplitSeq(df.repartition(16), col("partition_id"), 10)
+      .select("conv_id", "turn_idx", "split_seq").collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}
