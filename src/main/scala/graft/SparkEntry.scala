@@ -406,7 +406,7 @@ object SparkEntry {
       // depends only on the shingle sets (oracle recomputes the same pair
       // set in SQL); est-vs-true accuracy is pinned in DedupSpec.
       Dedup.minhashVerifiedDups(t(s, d, "documents"), col("doc_id"), col("text"),
-        shingleK = 5, numHashes = 32, bands = 16, threshold = 0.9)
+        shingleK = 5, numHashes = 32, bands = 8, threshold = 0.9)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("doc_id1", "doc_id2")),
 

@@ -126,17 +126,35 @@ object Dedup {
   /** MinHash-LSH candidates + EXACT shingle-set Jaccard verification — the
     * production near-dup shape (LSH bounds the pair volume; the exact verify
     * makes the output hash-independent, so a SQL oracle can recompute it).
-    * With bands of 2 rows, a true pair at jaccard j is missed with
-    * probability (1−j²)^bands — ≈3e-12 at j=0.9, bands=16 — so on a test
-    * corpus the output equals the exact ≥-threshold pair set. */
+    *
+    * Three pruning layers, each strictly cheaper than the next:
+    *  1. banded LSH (4-row bands): a true pair at jaccard j is missed with
+    *     probability (1−j⁴)^bands ≈ 2e-4·… at j=0.9, bands=8 — while random
+    *     background pairs (j≈0.2) collide at only ~0.2⁴·8 ≈ 1.3%;
+    *  2. signature est_jaccard ≥ `prefilter` (zip_with over `numHashes`
+    *     longs — no shingle arrays touched): at j ≥ threshold the estimate
+    *     sits many σ above the pre-filter, at background j many σ below;
+    *  3. exact shingle-set jaccard ≥ `threshold` on the survivors only —
+    *     the expensive array_intersect runs on ~true pairs, not on every
+    *     bucket collision (the unfiltered form cost 449 s at sf0.1). */
   def minhashVerifiedDups(df: DataFrame, id: Column, text: Column,
                           shingleK: Int = 5, numHashes: Int = 32,
-                          bands: Int = 16, threshold: Double = 0.9): DataFrame = {
+                          bands: Int = 8, threshold: Double = 0.9,
+                          prefilter: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
     val withSig = minhashSignatures(df, id, text, shingleK, numHashes)
     val cand = lshCandidatePairs(lshBands(withSig, col("doc_id"), col("sig"), bands, rows))
+    val sigs = withSig.select(col("doc_id"), col("sig"))
+    val estOk = cand
+      .join(sigs.toDF("doc_id1", "sig1"), "doc_id1")
+      .join(sigs.toDF("doc_id2", "sig2"), "doc_id2")
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est") >= prefilter)
+      .select("doc_id1", "doc_id2")
     val sh = df.select(id.as("doc_id"), shingles(text, shingleK).as("sh"))
-    cand
+    estOk
       .join(sh.toDF("doc_id1", "sh1"), "doc_id1")
       .join(sh.toDF("doc_id2", "sh2"), "doc_id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
