@@ -83,6 +83,19 @@ object Tokenizers {
     coalesce(ies, sses, ing, ed, s, t)
   }
 
+  /** chinese_compatible: every CJK ideograph is its own token, non-CJK
+    * alphanumeric runs tokenize like `default`, + remove-long(255) +
+    * lowercase (tokenizers/chinese_compatible.rs:47-120 + the analyzer
+    * chain at tokenizers/mod.rs:70-74). The char ranges mirror the
+    * reference EXACTLY — including its quirky 4500 (not 4E00) lower bound
+    * on the main ideograph block (chinese_compatible.rs:56). Expressed as a
+    * codegen'd space-insertion around CJK chars followed by the `default`
+    * split (CJK ideographs are \p{L}, so each becomes a 1-char token). */
+  def chineseCompatible(c: Column): Column = {
+    val cjk = "[\\x{4500}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2CEAF}]"
+    default(regexp_replace(coalesce(c, lit("")), s"($cjk)", " $1 "))
+  }
+
   /** Tokenizer lookup by reference name. */
   def byName(name: String): Column => Column = name match {
     case "raw"                 => raw
@@ -91,6 +104,7 @@ object Tokenizers {
     case "whitespace"          => whitespace
     case "source_code_default" => sourceCode
     case "en_stem"             => enStem
+    case "chinese_compatible"  => chineseCompatible
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 }

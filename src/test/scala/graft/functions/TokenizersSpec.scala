@@ -64,8 +64,24 @@ class TokenizersSpec extends SparkTestBase {
       Seq("runn", "jump", "stori", "glass", "token"))
   }
 
+  test("chinese_compatible: reference golden — CJK per-char, latin per-word") {
+    // chinese_compatible.rs:135-209 test_chinese_tokenizer
+    assert(evalTokens("Hello world, 你好世界, bonjour monde", Tokenizers.chineseCompatible) ===
+      Seq("hello", "world", "你", "好", "世", "界", "bonjour", "monde"))
+    // chinese_compatible.rs:212-257 test_chinese_tokenizer_no_space
+    assert(evalTokens("Hello你好bonjour", Tokenizers.chineseCompatible) ===
+      Seq("hello", "你", "好", "bonjour"))
+  }
+
+  test("chinese_compatible: ascii-only input equals default (reference proptest)") {
+    // chinese_compatible.rs:259-264 proptest: ascii text → same as default
+    for (t <- Seq("Hello, happy tax payer!", "a-b_c 42", "", "   "))
+      assert(evalTokens(t, Tokenizers.chineseCompatible) === evalTokens(t, Tokenizers.default), t)
+  }
+
   test("byName resolves every registered tokenizer") {
-    for (n <- Seq("raw", "lowercase", "default", "whitespace", "source_code_default", "en_stem"))
+    for (n <- Seq("raw", "lowercase", "default", "whitespace", "source_code_default",
+                  "en_stem", "chinese_compatible"))
       Tokenizers.byName(n)
     intercept[IllegalArgumentException](Tokenizers.byName("nope"))
   }
