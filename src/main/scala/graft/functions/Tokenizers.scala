@@ -96,6 +96,33 @@ object Tokenizers {
     default(regexp_replace(coalesce(c, lit("")), s"($cjk)", " $1 "))
   }
 
+  /** multilang: per-value language detection (or an explicit `ENG:`/`CMN:`/
+    * `JPN:`/`KOR:` prefix override) dispatching to a per-language analyzer
+    * (tokenizers/multilang.rs:65-150). Documented divergences from the
+    * reference: detection is script-presence based (the reference embeds the
+    * whichlang n-gram classifier), and Japanese/Korean segment per-CJK-char/
+    * by-script-run (the reference links the Lindera dictionary tokenizer —
+    * no dictionaries exist offline). The dispatch shape, prefix contract and
+    * CMN/ENG paths match. */
+  def multilang(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val prefix = substring(t, 1, 4)
+    val body = when(prefix.isin("ENG:", "CMN:", "JPN:", "KOR:"), substring(t, 5, Int.MaxValue))
+      .otherwise(t)
+    val hasHan = body.rlike("[\\x{3400}-\\x{9FFF}\\x{20000}-\\x{2CEAF}]")
+    val hasKana = body.rlike("[\\x{3040}-\\x{30FF}]")
+    val hasHangul = body.rlike("[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]")
+    val lang = when(prefix === "ENG:", "eng").when(prefix === "CMN:", "cmn")
+      .when(prefix === "JPN:", "jpn").when(prefix === "KOR:", "kor")
+      .when(hasKana, "jpn").when(hasHangul, "kor").when(hasHan, "cmn")
+      .otherwise("eng")
+    // kana/hangul treated like the CJK split: insert breaks per script char
+    val cjkAll = "[\\x{3400}-\\x{9FFF}\\x{20000}-\\x{2CEAF}\\x{3040}-\\x{30FF}]"
+    when(lang === "eng", default(body))
+      .when(lang === "cmn", chineseCompatible(body))
+      .otherwise(default(regexp_replace(body, s"($cjkAll)", " $1 ")))
+  }
+
   /** Tokenizer lookup by reference name. */
   def byName(name: String): Column => Column = name match {
     case "raw"                 => raw
@@ -105,6 +132,7 @@ object Tokenizers {
     case "source_code_default" => sourceCode
     case "en_stem"             => enStem
     case "chinese_compatible"  => chineseCompatible
+    case "multilang"           => multilang
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 }

@@ -79,9 +79,21 @@ class TokenizersSpec extends SparkTestBase {
       assert(evalTokens(t, Tokenizers.chineseCompatible) === evalTokens(t, Tokenizers.default), t)
   }
 
+  test("multilang: prefix override and script-based dispatch") {
+    // explicit prefix forces the analyzer and is stripped (multilang.rs:129-150)
+    assert(evalTokens("ENG:Hello World", Tokenizers.multilang) === Seq("hello", "world"))
+    assert(evalTokens("CMN:你好世界", Tokenizers.multilang) === Seq("你", "好", "世", "界"))
+    // detection: Han → per-char; plain latin → default
+    assert(evalTokens("你好 world", Tokenizers.multilang) === Seq("你", "好", "world"))
+    assert(evalTokens("Hello happy tax payer", Tokenizers.multilang) ===
+      Seq("hello", "happy", "tax", "payer"))
+    // kana splits per char (no-dictionary fallback, documented divergence)
+    assert(evalTokens("JPN:すもも", Tokenizers.multilang) === Seq("す", "も", "も"))
+  }
+
   test("byName resolves every registered tokenizer") {
     for (n <- Seq("raw", "lowercase", "default", "whitespace", "source_code_default",
-                  "en_stem", "chinese_compatible"))
+                  "en_stem", "chinese_compatible", "multilang"))
       Tokenizers.byName(n)
     intercept[IllegalArgumentException](Tokenizers.byName("nope"))
   }
