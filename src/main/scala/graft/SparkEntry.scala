@@ -201,6 +201,16 @@ object SparkEntry {
       docStats.join(termStats, Seq("partition_id")).orderBy("partition_id")
     }),
 
+    "p_vrl_transform" -> ((s, d) =>
+      // VRL-shaped source transform (P5/U2), the doc_processor pre-mapping
+      // hook — compiled to codegen'd Columns by graft.parse.Vrl
+      graft.parse.Vrl.transform(
+        """.text_lower = downcase(string!(.text));
+          |.role = upcase(.role);
+          |.text_len = strlen(.text);
+          |del(.tool)""".stripMargin)(transcripts(s, d))
+        .select("conv_id", "turn_idx", "role", "text_lower", "text_len")),
+
     "pipe_split_seal" -> ((s, d) => {
       // T1 commit triggers: num-docs-target split sealing over the routed
       // partitions (indexer.rs:578-608; test shape indexer.rs:733-870)
@@ -354,6 +364,13 @@ object SparkEntry {
     "k_offset" -> ((s, d) =>
       Aggs.paginate(t(s, d, "events").select("event_id", "value"),
         Seq(col("event_id").asc), offset = 20, k = 10)),
+
+    "k_search_after_full" -> ((s, d) =>
+      // the reference's FULL cursor shape: (sort value, …, forced doc tie)
+      // as an N-part lexicographic resume (collector.rs:316-341)
+      Aggs.searchAfterN(t(s, d, "events").select("event_id", "event_type", "value"),
+        Seq(col("event_type") -> "error", col("value") -> 100.0, col("event_id") -> 500L),
+        k = 10)),
 
     // ---- tokenizers ------------------------------------------------------
     "t_tokens" -> ((s, d) =>
@@ -590,6 +607,18 @@ object SparkEntry {
         .orderBy("vec_id1", "vec_id2")
     }),
 
+    // ---- embedding near-dup, PRODUCTION path (LSH buckets + exact verify;
+    // d_embed_cosine remains the labeled exact all-pairs baseline) --------
+    "d_embed_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.lshNearDupPairs(e, col("vec_id"), col("v"),
+          threshold = 0.45, bits = 2, tables = 16)
+        .select(col("doc_id1").as("vec_id1"), col("doc_id2").as("vec_id2"),
+                round(col("cos"), 4).as("cos"))
+        .orderBy("vec_id1", "vec_id2")
+    }),
+
     // ---- multimodal plumbing (blob_hash stays spec-pinned — xxhash64) ----
     "m_multimodal" -> ((s, d) => {
       val media = t(s, d, "documents")
@@ -791,6 +820,11 @@ object SparkEntry {
         |FROM tr JOIN ts_agg ON tr.partition_id = ts_agg.partition_id
         |GROUP BY tr.partition_id ORDER BY tr.partition_id""".stripMargin),
 
+    "p_vrl_transform" -> (TranscriptsCte +
+      """SELECT conv_id, turn_idx, upper(role) AS role, lower(text) AS text_lower,
+        |  CAST(strlen(text) AS BIGINT) AS text_len
+        |FROM transcripts""".stripMargin),
+
     "pipe_split_seal" -> (TranscriptsCte +
       """, tr AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 8 AS partition_id
         |          FROM transcripts WHERE text IS NOT NULL),
@@ -905,6 +939,11 @@ object SparkEntry {
 
     "k_offset" ->
       "SELECT event_id, value FROM events ORDER BY event_id LIMIT 10 OFFSET 20",
+
+    "k_search_after_full" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE (event_type, value, event_id) > ('error', 100.0, 500)
+        |ORDER BY event_type, value, event_id LIMIT 10""".stripMargin,
 
     "t_tokens" ->
       """SELECT doc_id, token FROM (
@@ -1035,6 +1074,14 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d_embed_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
 
     "r_route_counts" -> (TranscriptsCte +

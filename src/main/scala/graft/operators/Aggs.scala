@@ -120,9 +120,22 @@ object Aggs {
     * The tuple predicate pushes into the scan. */
   def searchAfter(df: DataFrame, sortCol: Column, tieCol: Column,
                   cursorSort: Any, cursorTie: Any, k: Int): DataFrame =
-    df.filter(sortCol > lit(cursorSort) ||
-              (sortCol === lit(cursorSort) && tieCol > lit(cursorTie)))
-      .orderBy(sortCol.asc, tieCol.asc).limit(k)
+    searchAfterN(df, Seq(sortCol -> cursorSort, tieCol -> cursorTie), k)
+
+  /** Full-cursor search_after: the reference cursor is the N-part tuple
+    * (sort value(s), split_id, segment_ord, doc_id) with `_shard_doc` as
+    * the forced final tie (collector.rs:316-341) — generalized here to any
+    * lexicographic (column, value) chain. The expanded OR-of-ANDs predicate
+    * is pushdown-friendly (its first disjunct `c1 > v1` prunes row groups
+    * on the leading sort column). */
+  def searchAfterN(df: DataFrame, cursor: Seq[(Column, Any)], k: Int): DataFrame = {
+    require(cursor.nonEmpty, "empty search_after cursor")
+    val pred = cursor.indices.map { i =>
+      (cursor.take(i).map { case (c, v) => c === lit(v) } :+
+        (cursor(i)._1 > lit(cursor(i)._2))).reduce(_ && _)
+    }.reduce(_ || _)
+    df.filter(pred).orderBy(cursor.map(_._1.asc): _*).limit(k)
+  }
 
   /** start_offset pagination after merge (search.proto:206-211).
     * orderBy + offset + limit plans as a single TakeOrderedAndProject

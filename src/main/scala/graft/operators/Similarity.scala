@@ -84,6 +84,34 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Embedding near-dup PAIRS via LSH bucketing + exact cosine verify — the
+    * scale path that replaces the all-pairs crossJoin of the exact baseline
+    * (`d_embed_cosine`): candidates only form inside (table, bucket) groups,
+    * then the exact cosine keeps pairs ≥ `threshold`. With wide probing the
+    * output equals the exact pair set; at 100 TB `bits` rises to shrink
+    * buckets and recall degrades gracefully instead of the join exploding. */
+  def lshNearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
+                      bits: Int = 2, tables: Int = 16): DataFrame = {
+    val base = df.select(id.as("doc_id"), vec.as("v"))
+    val buckets = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => rhpSignature(col("v"), bits, t * bits))))
+      .withColumnRenamed("pos", "table_id").withColumnRenamed("col", "bucket")
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val cand = a.join(b,
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .distinct()
+    val withNorm = base.withColumn("n", norm(col("v")))
+    cand
+      .join(withNorm.toDF("doc_id1", "v1", "n1"), "doc_id1")
+      .join(withNorm.toDF("doc_id2", "v2", "n2"), "doc_id2")
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select("doc_id1", "doc_id2", "cos")
+  }
+
   /** Per-centroid projection scores for IVF coarse quantization (anchors =
     * deterministic hash-derived directions). */
   private def ivfScores(vec: Column, nlist: Int): Column =
