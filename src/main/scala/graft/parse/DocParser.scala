@@ -36,7 +36,12 @@ object DocParser {
       (!text.contains("CALL ") || regexp_extract(text, ToolCallRe, 1) =!= "")
 
   /** Extraction columns appended to the input. Pure projection — stays inside
-    * whole-stage codegen; no shuffle. */
+    * whole-stage codegen; no shuffle. Per-group `regexp_extract` is kept
+    * DELIBERATELY: a measured attempt to fuse each pattern into a single
+    * `regexp_replace`-rewrite execution was slower on the 10M-turn scaling
+    * input (the anchored-alternation rewrite allocates a rewritten copy of
+    * every row and backtracks through `.*?`, while extract's find() scans
+    * once and returns group slices). */
   def withParsedColumns(df: DataFrame): DataFrame = {
     val t = col("text")
     df.withColumn("called_tool", nullIfEmpty(regexp_extract(t, ToolCallRe, 1)))
@@ -82,7 +87,13 @@ object DocParser {
     * `observedMetrics` after an action on `valid`. */
   def parse(input: DataFrame, mode: Mode = Lenient,
             observation: Option[org.apache.spark.sql.Observation] = None): ParseResult = {
-    val flagged = input.withColumn("_valid", isValid(col("text")))
+    // validity re-derives from the already-extracted called_tool instead of
+    // re-running the ToolCallRe regex a second time (isValid's standalone
+    // form); codegen CSE then executes each grok pattern exactly once/row
+    val parsedAll = withParsedColumns(input)
+    val flagged = parsedAll.withColumn("_valid",
+      col("text").isNotNull &&
+        (!col("text").contains("CALL ") || col("called_tool").isNotNull))
     val metrics = Seq(
       sum(when(col("_valid"), 1L).otherwise(0L)).as("num_valid_docs"),
       sum(when(!col("_valid"), 1L).otherwise(0L)).as("num_doc_parsing_errors"),
@@ -91,8 +102,9 @@ object DocParser {
       case Some(obs) => flagged.observe(obs, metrics.head, metrics.tail: _*)
       case None => flagged.observe("doc_processor", metrics.head, metrics.tail: _*)
     }
-    val valid = withParsedColumns(observed.filter(col("_valid")).drop("_valid"))
-    val dead = flagged.filter(!col("_valid")).drop("_valid")
+    val parsedCols = Seq("called_tool", "call_status", "error_code", "error_msg", "severity")
+    val valid = observed.filter(col("_valid")).drop("_valid")
+    val dead = flagged.filter(!col("_valid")).drop("_valid").drop(parsedCols: _*)
       .withColumn("error_label",
         when(col("text").isNull, lit("null_text")).otherwise(lit("truncated_pattern")))
     mode match {
