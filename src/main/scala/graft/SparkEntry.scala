@@ -339,6 +339,19 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("user_cardinality"))
         .orderBy("event_type")),
 
+    "a_cardinality_approx" -> ((s, d) =>
+      // the reference's cardinality agg is sketch-based (postcard HLL);
+      // approx_count_distinct is the Spark twin — oracle-checked via the
+      // same bounds pattern as a_percentiles_approx (exact value + the
+      // sketch's error-contract boolean)
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("_approx"),
+             countDistinct(col("user_id")).as("user_cardinality"))
+        .select(col("event_type"), col("user_cardinality"),
+          (abs(col("_approx") - col("user_cardinality")) <=
+            col("user_cardinality") * 0.05 + 1).as("within_bounds"))
+        .orderBy("event_type")),
+
     "a_sub_agg" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
@@ -911,6 +924,11 @@ object SparkEntry {
     "a_cardinality" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS user_cardinality
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a_cardinality_approx" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS user_cardinality,
+        |  TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a_sub_agg" ->
       """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
