@@ -79,10 +79,15 @@ object ScalingBench {
       .getInputArguments.asScala.filterNot(_.startsWith("-Xmx")).toSeq
     val cmd = Seq("taskset", "-c", s"0-${cores - 1}",
       Paths.get(System.getProperty("java.home"), "bin", "java").toString) ++
-      // measured JVM geometry: fixed 8g ParallelGC heap. A larger heap
-      // SLOWS this workload (16g cost ~2.7× on the parse+cache phase — G1
-      // region growth + page faults), and ParallelGC beats G1 by ~15%.
-      jvmArgs ++ Seq("-XX:+UseParallelGC", "-Xmx8g", "-Xms8g",
+      // measured JVM geometry: fixed ParallelGC heap, 8g by default. A
+      // larger heap SLOWS the ~10M-turn workload (16g cost ~2.7× on the
+      // parse+cache phase — G1 region growth + page faults), and ParallelGC
+      // beats G1 by ~15%. Bigger inputs need more cache room: override with
+      // GRAFT_CHILD_HEAP (e.g. 16g for the 40M-turn steady-state run).
+      jvmArgs ++ {
+        val heap = sys.env.getOrElse("GRAFT_CHILD_HEAP", "8g")
+        Seq("-XX:+UseParallelGC", s"-Xmx$heap", s"-Xms$heap")
+      } ++ Seq(
         "-cp", System.getProperty("java.class.path"),
       "graft.ScalingBench", "child", cores.toString, inputDir, totalTurns.toString)
     // stderr (Spark's log stream) goes to a file — draining both pipes

@@ -113,11 +113,17 @@ object IndexingPipeline {
     * term_cardinality + postings_count (the merge-pipeline stats,
     * packager.rs:230-273 + num_terms()). */
   def splitAggregates(routed: DataFrame, cfg: Config): DataFrame = {
+    // two-level term aggregation instead of countDistinct: grouping on
+    // (partition, term) first lets the map-side partial collapse duplicate
+    // terms BEFORE the shuffle (volume = distinct terms, not all postings)
+    // and avoids the Expand duplication countDistinct+count in one agg
+    // would plan; cardinality = count of groups, postings = sum of counts
     val termStats = routed
       .select(col("partition_id"), explode(Tokenizers.default(col("text"))).as("term"))
+      .groupBy("partition_id", "term").agg(count(lit(1)).as("_tc"))
       .groupBy("partition_id")
-      .agg(countDistinct(col("term")).as("term_cardinality"),
-           count(lit(1)).as("postings_count"))
+      .agg(count(lit(1)).as("term_cardinality"),
+           sum(col("_tc")).as("postings_count"))
     val docStats = routed.groupBy("partition_id")
       .agg(count(lit(1)).as("num_docs"),
            sum(octet_length(col("text")).cast("long")).as("uncompressed_docs_size_in_bytes"),
@@ -128,17 +134,28 @@ object IndexingPipeline {
   }
 
   /** Deterministic routed-row set checksum over (sink, conv_id, turn_idx) —
-    * the routed-row equality check of the BASELINE. Order-independent: sum
-    * of per-row hashes in decimal (ANSI mode would throw on a long-sum
-    * overflow), reduced mod 2^64 so the result is parallelism-invariant. */
+    * the routed-row equality check of the BASELINE. Order-independent and
+    * parallelism-invariant: Σ hashes mod 2^64, computed as four overflow-free
+    * LONG sums of 16-bit limbs — each limb sum is ≤ 65535·rows, safe in a
+    * long up to ~1.4e14 rows, so ANSI mode cannot throw at the 10^12-turn
+    * target and the aggregate stays codegen'd (the earlier decimal(38,0)
+    * sum paid per-row BigDecimal arithmetic) — recombined with wrapping
+    * arithmetic on the driver. */
+  private[pipeline] def checksumAggs(h: Column): Seq[Column] =
+    (3 to 0 by -1).map { limb =>
+      sum(call_function("shiftrightunsigned", h, lit(limb * 16)).bitwiseAND(lit(0xFFFFL)))
+        .as(s"_ck_$limb")
+    }
+
+  private[pipeline] def combineChecksum(limbSums: Seq[Long]): Long =
+    limbSums.zip(Seq(48, 32, 16, 0)).map { case (s, sh) => s << sh }.sum // wrapping = mod 2^64
+
   def routedChecksum(routedWithSink: DataFrame): Long = {
-    val d = routedWithSink
-      .select(xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx"))
-        .cast("decimal(38,0)").as("h"))
-      .agg(sum(col("h")))
-      .collect()(0).getDecimal(0)
-    if (d == null) 0L
-    else d.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+    val h = xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx"))
+    val aggs = checksumAggs(h)
+    val r = routedWithSink.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.isNullAt(0)) 0L
+    else combineChecksum((0 to 3).map(r.getLong))
   }
 
   /** Run the whole pipeline and publish. `delta` identifies the input batch
@@ -203,17 +220,14 @@ object IndexingPipeline {
       // over the raw input is answered from parquet footers — no third
       // parse pass.
       val fCounts = concurrent.Future(timed("counts+checksum") {
-        val r = routed.agg(
+        val h = xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx"))
+        val aggs = Seq(
           sum(when(col("call_status") === "ERR" || col("severity") === "ERROR", 1L)
             .otherwise(0L)).as("errors"),
           count_distinct(col("conv_id")).as("rollups"),
-          count(lit(1)).as("valid"),
-          sum(xxhash64(coalesce(col("sink"), lit("_null")), col("conv_id"), col("turn_idx"))
-            .cast("decimal(38,0)")).as("hsum")).collect()(0)
-        val hsum = r.getDecimal(3)
-        val cks =
-          if (hsum == null) 0L
-          else hsum.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+          count(lit(1)).as("valid")) ++ checksumAggs(h)
+        val r = routed.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val cks = if (r.isNullAt(3)) 0L else combineChecksum((3 to 6).map(r.getLong))
         (SinkCounts(
           errorIndex = Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
           rollup = r.getLong(1),
