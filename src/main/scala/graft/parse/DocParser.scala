@@ -36,22 +36,29 @@ object DocParser {
       (!text.contains("CALL ") || regexp_extract(text, ToolCallRe, 1) =!= "")
 
   /** Extraction columns appended to the input. Pure projection — stays inside
-    * whole-stage codegen; no shuffle. Per-group `regexp_extract` is kept
-    * DELIBERATELY: a measured attempt to fuse each pattern into a single
-    * `regexp_replace`-rewrite execution was slower on the 10M-turn scaling
-    * input (the anchored-alternation rewrite allocates a rewritten copy of
-    * every row and backtracks through `.*?`, while extract's find() scans
-    * once and returns group slices). */
+    * whole-stage codegen; no shuffle. Each grok pattern's matcher runs ONCE
+    * per row via [[graft.functions.RegexpGroups]]: every group read shares
+    * the identical groups-array expression, which codegen subexpression
+    * elimination computes once (per-group `regexp_extract` calls differ in
+    * the group index, so CSE could NOT merge them and the matcher re-scanned
+    * each row once per group). A measured attempt to instead fuse patterns
+    * into a single `regexp_replace`-rewrite was slower on the 10M-turn
+    * scaling input (the anchored-alternation rewrite allocates a rewritten
+    * copy of every row and backtracks through `.*?`) — single-pass *extract*
+    * is the right fusion, not rewrite. */
   def withParsedColumns(df: DataFrame): DataFrame = {
+    import graft.functions.RegexpGroups.groups
     val t = col("text")
-    df.withColumn("called_tool", nullIfEmpty(regexp_extract(t, ToolCallRe, 1)))
-      .withColumn("call_status", nullIfEmpty(regexp_extract(t, ToolCallRe, 3)))
+    val tc = groups(t, ToolCallRe)  // [tool, args, status] or NULL on miss
+    val er = groups(t, ErrorRe)     // [code, msg] or NULL on miss
+    val sev = groups(t, SeverityRe) // [level] or NULL on miss
+    df.withColumn("called_tool", nullIfEmpty(tc.getItem(0)))
+      .withColumn("call_status", nullIfEmpty(tc.getItem(2)))
       .withColumn("error_code",
-        when(regexp_extract(t, ErrorRe, 1) =!= "",
-          regexp_extract(t, ErrorRe, 1).cast("int")).otherwise(lit(-1)))
-      .withColumn("error_msg", nullIfEmpty(regexp_extract(t, ErrorRe, 2)))
+        when(er.getItem(0) =!= "", er.getItem(0).cast("int")).otherwise(lit(-1)))
+      .withColumn("error_msg", nullIfEmpty(er.getItem(1)))
       .withColumn("severity",
-        coalesce(nullIfEmpty(regexp_extract(t, SeverityRe, 1)), lit("INFO")))
+        coalesce(nullIfEmpty(sev.getItem(0)), lit("INFO")))
   }
 
   private def nullIfEmpty(c: Column): Column = when(c =!= "", c)
