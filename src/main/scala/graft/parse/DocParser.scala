@@ -49,9 +49,13 @@ object DocParser {
   def withParsedColumns(df: DataFrame): DataFrame = {
     import graft.functions.RegexpGroups.groups
     val t = col("text")
-    val tc = groups(t, ToolCallRe)  // [tool, args, status] or NULL on miss
-    val er = groups(t, ErrorRe)     // [code, msg] or NULL on miss
-    val sev = groups(t, SeverityRe) // [level] or NULL on miss
+    // gate each matcher on a zero-allocation substring test for a literal
+    // the pattern REQUIRES ("CALL " / "ERROR["): rows without it cannot
+    // match, so the gate is semantics-preserving (false → NULL = miss) and
+    // most rows skip both the matcher and its row.toString() allocation
+    val tc = when(t.contains("CALL "), groups(t, ToolCallRe))  // [tool, args, status]
+    val er = when(t.contains("ERROR["), groups(t, ErrorRe))    // [code, msg]
+    val sev = groups(t, SeverityRe)                            // [level] or NULL on miss
     df.withColumn("called_tool", nullIfEmpty(tc.getItem(0)))
       .withColumn("call_status", nullIfEmpty(tc.getItem(2)))
       .withColumn("error_code",
