@@ -138,6 +138,19 @@ object ScalingBench {
     val totalTurns = gen.read.parquet(inputDir).count()
     gen.stop()
 
+    // Pre-warm the input into the page cache so every level reads identical
+    // in-memory bytes (what a node reading a locally-cached split sees).
+    // Without this, the VM's virtio disk dominates run-to-run variance:
+    // complete runs of identical code measured 2→8 efficiencies of
+    // 0.63–0.92 across one day purely from host-side IO weather.
+    Files.list(Paths.get(inputDir)).iterator().asScala.foreach { p =>
+      if (Files.isRegularFile(p)) {
+        val in = Files.newInputStream(p)
+        val buf = new Array[Byte](1 << 20)
+        try { while (in.read(buf) >= 0) () } finally { in.close() }
+      }
+    }
+
     def best(cores: Int): RunStats =
       (1 to reps).map(_ => runChild(cores, inputDir, totalTurns)).minBy(_.secs)
 
