@@ -435,6 +435,10 @@ object SparkEntry {
       // LSH candidate generation + exact shingle-Jaccard verify: the output
       // depends only on the shingle sets (oracle recomputes the same pair
       // set in SQL); est-vs-true accuracy is pinned in DedupSpec.
+      // COST NOTE: ~3x the r1 variant at sf0.1 — r1 emitted signature-hash
+      // pairs with NO oracle (rows-only); the exact-verify layer that makes
+      // this DuckDB-checkable is the price, and it runs only on the
+      // est>=0.6-prefiltered survivors (unfiltered form cost 449 s).
       Dedup.minhashVerifiedDups(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleK = 5, numHashes = 32, bands = 8, threshold = 0.9)
         .withColumn("jaccard", round(col("jaccard"), 4))
