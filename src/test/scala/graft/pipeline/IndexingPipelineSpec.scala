@@ -134,4 +134,38 @@ class IndexingPipelineSpec extends SparkTestBase {
     val numDocs = aggs.agg(sum("num_docs")).collect()(0).getLong(0)
     assert(numDocs === routed.count())
   }
+
+  test("property: limb checksum equals BigInteger sum-of-hashes mod 2^64") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // the overflow-free form (four LONG sums of 16-bit limbs, recombined
+    // with wrapping shifts) must agree with the direct unbounded sum for
+    // ARBITRARY 64-bit hash values, including Long.MinValue/MaxValue
+    val genHashes = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue)))
+    val prop = Prop.forAll(genHashes) { hs =>
+      val limbSums = (3 to 0 by -1).map { limb =>
+        hs.map(h => (h >>> (limb * 16)) & 0xFFFFL).sum // mirrors the SQL aggs
+      }
+      val expected = hs.foldLeft(java.math.BigInteger.ZERO)((a, h) =>
+        a.add(java.math.BigInteger.valueOf(h)))
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+      IndexingPipeline.combineChecksum(limbSums) == expected
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("limb checksum SQL aggs agree with the plain-Scala limb form") {
+    import spark.implicits._
+    val hs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue, 123456789012345L)
+    val df = hs.toDF("h")
+    val aggs = IndexingPipeline.checksumAggs(col("h"))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val fromSql = IndexingPipeline.combineChecksum((0 to 3).map(r.getLong))
+    val direct = hs.foldLeft(java.math.BigInteger.ZERO)((a, h) =>
+      a.add(java.math.BigInteger.valueOf(h)))
+      .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+    assert(fromSql === direct)
+  }
 }
