@@ -18,6 +18,7 @@ class RegexpGroupsSpec extends SparkTestBase {
     "CALL truncated(",                         // opener but no full match
     "ERROR[042]: ",                            // empty trailing message group
     "prefix CALL a_b(x) -> OK suffix CALL c(y) -> ERR", // first match wins
+    "café 中文 περιβάλλον CALL tr(arg=é) -> OK",         // multi-byte UTF-8 around+inside groups
     ""
   )
 
