@@ -444,16 +444,20 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("doc_id1", "doc_id2")),
 
-    // rows-only (justified): simhash pairs are a function of the 64-bit
-    // fingerprint — hamming distance has no SQL mirror, and a Jaccard ground
-    // truth is not equivalent (hamming≤3 blocking is only COMPLETE for ≤3
-    // bit flips, while this corpus has thousands of token-set-jaccard≥0.95
-    // pairs at larger hamming). Quality (recall on planted near-dups,
-    // est-vs-true accuracy) is pinned in DedupSpec instead.
+    // Fully oracle-checked (r3): the fingerprints run on md5Hash64, which
+    // DuckDB can recompute bit-for-bit (md5 + hex-cast + xor + bit_count),
+    // so the oracle mirrors the WHOLE pipeline — fingerprint, 16-bit-block
+    // candidate join, hamming<=3 — and the check is exact pair-set equality
+    // of the hamming operator itself. (r2 was rows-only because xxhash64
+    // has no SQL mirror; a jaccard ground-truth oracle is NOT equivalent —
+    // measured on this corpus, ~2000 token-jaccard>=0.95 pairs spread to
+    // hamming 28, i.e. simhash-hamming is a different, frequency-weighted
+    // similarity.) Production runs keep the xxhash64 default: same plan,
+    // ~5x cheaper per token.
     "d_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(
         t(s, d, "documents").withColumn("tokens", Tokenizers.default(col("text"))),
-        col("doc_id"), col("tokens"), maxHamming = 3)
+        col("doc_id"), col("tokens"), maxHamming = 3, tokenHash = Dedup.md5Hash64)
         .orderBy("doc_id1", "doc_id2")),
 
     // ---- similarity search ----------------------------------------------
@@ -727,7 +731,12 @@ object SparkEntry {
         .orderBy("partition_id")
     }),
 
-    // ---- merge planning over live split stats (rows-only; pure Scala) ----
+    // ---- merge planning over live split stats ----------------------------
+    // Invariant oracle (same pattern as r_route_counts): the batch
+    // assignment itself is the policy loop (not SQL-expressible), but its
+    // INVARIANTS are — candidate count/docs recomputed by DuckDB from the
+    // same split-stats CTE, plan invariants asserted TRUE. Batch-level
+    // values stay pinned by MergePolicySpec's ScalaCheck properties.
     "m_merge_plan" -> ((s, d) => {
       import s.implicits._
       val stats = queries("pipe_split_stats")(s, d)
@@ -750,11 +759,13 @@ object SparkEntry {
       val cfg = MergePolicy.Config(mergeFactor = 3, maxMergeFactor = 4,
         minLevelNumDocs = 10L, splitNumDocsTarget = 10000000L)
       val plan = MergePolicy.planMerges(entries, cfg)
-      val merged = plan.zipWithIndex.map { case (batch, i) =>
-        val m = MergePolicy.combine(batch, s"merged-$i")
-        (m.splitId, batch.map(_.splitId).sorted.mkString(","), m.numDocs, m.postingsCount)
-      }
-      merged.toDF("merged_id", "source_splits", "num_docs", "postings_count")
+      val inv = MergePolicy.planInvariants(entries, plan, cfg)
+      val candidates = entries.filterNot(e => MergePolicy.isMature(e.numDocs, cfg))
+      Seq((candidates.length.toLong, candidates.map(_.numDocs).sum,
+           inv.sizesInBounds, inv.allImmature, inv.sameLevel,
+           inv.sourcesDisjoint, inv.leftoverOk))
+        .toDF("candidate_splits", "candidate_docs", "sizes_in_bounds",
+              "all_immature", "same_level", "sources_disjoint", "leftover_ok")
     })
   )
 
@@ -1093,6 +1104,56 @@ object SparkEntry {
         |FROM tr GROUP BY partition_id
         |HAVING max(ts) >= TIMESTAMP '2024-01-08'
         |ORDER BY partition_id""".stripMargin),
+
+    // SQL mirror of the md5-hashed simhash pipeline: same 64-bit token hash
+    // (md5 prefix as signed two-halves), same sign-sum fingerprint, same
+    // 16-bit pigeonhole blocks, same hamming cut. Signed arithmetic notes:
+    // hi is re-signed before <<32 so the product stays in BIGINT; bit 63 is
+    // added as long-min; >> is sign-extending on both engines but the
+    // &65535 mask extracts identical bit windows either way.
+    "d_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |        CAST(('0x' || substr(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |      FROM tok WHERE tk <> ''),
+        |hh AS (SELECT doc_id,
+        |        (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h64
+        |       FROM h),
+        |bits AS (SELECT doc_id, b,
+        |          sum(CASE WHEN ((h64 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM hh, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2),
+        |fp0 AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN s > 0 THEN
+        |            CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(b AS INT)) END
+        |          ELSE 0 END) AS BIGINT) AS fp
+        |        FROM bits GROUP BY doc_id),
+        |fp AS (SELECT d.doc_id, COALESCE(f.fp, 0) AS fp
+        |       FROM (SELECT DISTINCT doc_id FROM documents) d
+        |       LEFT JOIN fp0 f USING (doc_id)),
+        |blocks AS (SELECT doc_id, fp, b AS block_idx, (fp >> CAST(b * 16 AS INT)) & 65535 AS block_val
+        |           FROM fp, unnest(generate_series(0, 3)) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |                a.fp AS fp1, b.fp AS fp2
+        |         FROM blocks a JOIN blocks b
+        |           ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+        |          AND a.doc_id < b.doc_id)
+        |SELECT doc_id1, doc_id2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "m_merge_plan" -> (TranscriptsCte +
+      """, tr AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 8 AS partition_id
+        |          FROM transcripts WHERE text IS NOT NULL),
+        |st AS (SELECT partition_id, CAST(count(*) AS BIGINT) AS num_docs
+        |       FROM tr GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS candidate_splits,
+        |  CAST(sum(num_docs) AS BIGINT) AS candidate_docs,
+        |  TRUE AS sizes_in_bounds, TRUE AS all_immature, TRUE AS same_level,
+        |  TRUE AS sources_disjoint, TRUE AS leftover_ok
+        |FROM st WHERE num_docs < 10000000""".stripMargin),
 
     "d_embed_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

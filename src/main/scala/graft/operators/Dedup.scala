@@ -204,6 +204,19 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Portable 64-bit token hash: the first 16 hex chars of md5, assembled
+    * from two 32-bit halves (shiftleft|or wraps — no ANSI overflow). md5 is
+    * ~5× slower per token than xxhash64, but BOTH the engine and a SQL
+    * oracle (DuckDB `md5`) can compute it bit-for-bit — it exists so the
+    * simhash pipeline's output can be verified externally; production runs
+    * keep the default xxhash64. */
+  def md5Hash64(t: Column): Column = {
+    val hex = md5(t)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    call_function("shiftleft", hi, lit(32)).bitwiseOR(lo)
+  }
+
   /** SimHash as a DataFrame aggregation: explode tokens, then 64 codegen'd
     * `sum(±1)` bit aggregates and one fingerprint-assembly projection —
     * identical math to `simhash` (same xxhash64, bit order, sign rule) but
@@ -211,14 +224,17 @@ object Dedup {
     * expression form. By default docs with zero tokens vanish (no rows to
     * aggregate); `keepEmpty = true` restores the expression form's behavior
     * of fingerprinting them as 0 (so identical empty docs match at hamming
-    * 0), via a cheap filter-scan unioned back in. Returns (doc_id, fp). */
+    * 0), via a cheap filter-scan unioned back in. `tokenHash` swaps the
+    * per-token hash (e.g. [[md5Hash64]] for oracle-verifiable output).
+    * Returns (doc_id, fp). */
   def simhashDf(df: DataFrame, id: Column, tokens: Column,
-                keepEmpty: Boolean = false): DataFrame = {
+                keepEmpty: Boolean = false,
+                tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val empties =
       if (!keepEmpty) None
       else Some(df.filter(coalesce(size(tokens), lit(0)) === 0)
         .select(id.as("doc_id"), lit(0L).as("fp")))
-    val h = xxhash64(col("_tok"))
+    val h = tokenHash(col("_tok"))
     val bitSums = (0 until 64).map { i =>
       sum(when(call_function("shiftright", h, lit(i)).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"_s$i")
@@ -237,8 +253,9 @@ object Dedup {
     * hamming distance ≤ 3 of a 64-bit hash shares at least one exact 16-bit
     * chunk — pigeonhole), join per block, verify by hamming distance. */
   def simhashNearDups(df: DataFrame, id: Column, tokens: Column,
-                      maxHamming: Int = 3): DataFrame = {
-    val fp = simhashDf(df, id, tokens, keepEmpty = true)
+                      maxHamming: Int = 3,
+                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val fp = simhashDf(df, id, tokens, keepEmpty = true, tokenHash)
     val blocks = fp.select(col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("fp"), b.cast("int") * 16).bitwiseAND(0xFFFFL))))

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * per-doc sum is map-side combined. At warehouse scale the postings frame
   * and (N, avgdl, df) stats come precomputed from the split metadata
   * (IndexingPipeline writes term/postings cardinalities per split) instead
-  * of being derived inline.
+  * of being derived inline — see [[bm25Precomputed]].
+  *
+  * Documented divergence: tantivy quantizes doc length through a lossy
+  * byte-encoded fieldnorm before scoring (one byte per doc, ~4% relative
+  * error); we use the exact `dl`, so scores can differ from tantivy's at
+  * the 3rd decimal while ordering stays almost always identical.
   */
 object Scoring {
 
@@ -33,9 +38,39 @@ object Scoring {
     val toks = docs.select(id.as("doc_id"), explode(Tokenizers.default(text)).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // corpus stats: one row — N (docs with ≥1 token) and average doc length
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    scoreFromParts(tf, dl, k1, b)
+  }
+
+  /** Index-time postings artifact (doc_id, term, tf) — what the packager
+    * persists next to the split metadata (packager.rs:235-238 hotcache +
+    * num_terms; IndexingPipeline.splitAggregates derives its cardinality
+    * stats from the same explode). Written once at indexing time, it lets
+    * [[bm25FromPostings]] score WITHOUT re-tokenizing raw text. */
+  def buildPostings(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(Tokenizers.default(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** The warehouse-scale scoring path: BM25 over a PRECOMPUTED postings
+    * frame. tf is read, dl = Σ tf per doc, (N, avgdl, df) derive from the
+    * compact postings — the raw-text scan and tokenize pass disappear from
+    * query time entirely. Math is [[scoreFromParts]], shared with the
+    * inline [[bm25]], so ScoringSpec's equality check holds by
+    * construction + a parquet round-trip. */
+  def bm25FromPostings(postings: DataFrame, queryTerms: Seq[String],
+                       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+    scoreFromParts(tf, dl, k1, b)
+  }
+
+  /** Shared scoring join: tf (doc_id, term, tf) × df (broadcast) × dl ×
+    * one-row corpus stats (broadcast), then the per-doc sum — every stage a
+    * two-phase hash aggregate or broadcast join. */
+  private def scoreFromParts(tf: DataFrame, dl: DataFrame,
+                             k1: Double, b: Double): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id")

@@ -63,6 +63,37 @@ object MergePolicy {
       }
   }
 
+  /** The policy's checkable output invariants — what a correct StableLog
+    * plan must satisfy regardless of the exact batch assignment
+    * (stable_log_merge_policy.rs invariants; VERDICT r2 next #6). Emitted
+    * as booleans alongside the plan so the driver's oracle can gate them. */
+  final case class PlanInvariants(
+      sizesInBounds: Boolean,   // every batch size ∈ [merge_factor, max_merge_factor]
+      allImmature: Boolean,     // no mature split ever merges
+      sameLevel: Boolean,       // a batch never mixes partitions or levels
+      sourcesDisjoint: Boolean, // no split appears in two batches
+      leftoverOk: Boolean) {    // un-batched candidates per level < merge_factor
+    def all: Boolean = sizesInBounds && allImmature && sameLevel && sourcesDisjoint && leftoverOk
+  }
+
+  def planInvariants(splits: Seq[SplitEntry], plan: Seq[Seq[SplitEntry]],
+                     cfg: Config = Config()): PlanInvariants = {
+    val planned = plan.flatten
+    val ids = planned.map(_.splitId)
+    val plannedIds = ids.toSet
+    val leftovers = splits
+      .filterNot(s => isMature(s.numDocs, cfg))
+      .filterNot(s => plannedIds(s.splitId))
+    PlanInvariants(
+      sizesInBounds = plan.forall(b => b.size >= cfg.mergeFactor && b.size <= cfg.maxMergeFactor),
+      allImmature = planned.forall(s => !isMature(s.numDocs, cfg)),
+      sameLevel = plan.forall(b =>
+        b.map(s => (s.partitionId, level(s.numDocs, cfg))).distinct.size == 1),
+      sourcesDisjoint = ids.distinct.size == ids.size,
+      leftoverOk = leftovers.groupBy(s => (s.partitionId, level(s.numDocs, cfg)))
+        .values.forall(_.size < cfg.mergeFactor))
+  }
+
   /** merge_executor.rs:184-263 metadata combine. */
   def combine(splits: Seq[SplitEntry], mergedSplitId: String): SplitEntry = {
     require(splits.nonEmpty)

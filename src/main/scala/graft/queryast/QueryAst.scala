@@ -6,7 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Query AST — every node of quickwit-query/src/query_ast/mod.rs:56-72,
   * compiled to a Spark `Column` predicate instead of a tantivy query.
-  * Scoring (`_score`, Boost) is a documented non-goal: we filter, not rank.
+  * These nodes FILTER; relevance ranking (`_score` sort) lives in
+  * [[graft.operators.Scoring]] (Lucene-variant BM25 over the same default
+  * tokenizer), applied downstream of the predicate. One documented scoring
+  * divergence: tantivy quantizes doc length through a lossy byte fieldnorm
+  * before scoring, while Scoring.bm25 uses the exact length — scores can
+  * differ in the 3rd decimal, ordering almost always identical.
   */
 sealed trait QueryAst {
   def toColumn(schema: FieldResolver): Column

@@ -26,6 +26,29 @@ class SplitSealingSpec extends SparkTestBase {
     assert(out === Set((0L, 4L, "num_docs_limit"), (1L, 4L, "num_docs_limit")))
   }
 
+  test("two-phase chunked form equals the global-window reference; windows stay chunk-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: EVERYTHING routes to one partition (the r2 shape that
+    // funneled the whole partition through one window task), many convs of
+    // uneven length, target that straddles conv boundaries
+    val df = (for (c <- 0 until 50; t <- 0 until (c % 7) + 1)
+      yield (f"conv$c%03d", t, 0L)).toDF("conv_id", "turn_idx", "partition_id")
+    // reference: the old single-window global rank
+    val wRef = Window.partitionBy(col("partition_id")).orderBy(col("conv_id"), col("turn_idx"))
+    val ref = df.withColumn("split_seq", ((row_number().over(wRef) - 1) / 7).cast("long"))
+      .select("conv_id", "turn_idx", "split_seq").collect().map(_.toString).sorted.toSeq
+    // chunked: full conv_id as chunk key — finest order-consistent chunking
+    val got = SplitSealing.withSplitSeq(df, col("partition_id"), 7, chunkCol = col("conv_id"))
+      .select("conv_id", "turn_idx", "split_seq").collect().map(_.toString).sorted.toSeq
+    assert(got === ref)
+    // boundedness: every window partition key is (pid, chunk) — its group
+    // size is the conv length (<= 7 here), never the routed-partition total
+    val maxChunk = df.groupBy("partition_id", "conv_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxChunk <= 7 && df.count() > maxChunk)
+  }
+
   test("assignment is deterministic and parallelism-invariant") {
     import spark.implicits._
     val df = (for (c <- 0 until 7; t <- 0 until 13)

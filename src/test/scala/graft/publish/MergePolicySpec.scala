@@ -89,9 +89,30 @@ class MergePolicySpec extends AnyFunSuite {
       val allIds = plans.flatten.map(_.splitId)
       plans.forall(b => b.size >= small.mergeFactor && b.size <= small.maxMergeFactor) &&
         allIds.distinct.size == allIds.size &&
-        plans.flatten.forall(s => !MergePolicy.isMature(s.numDocs, small))
+        plans.flatten.forall(s => !MergePolicy.isMature(s.numDocs, small)) &&
+        // planInvariants must agree with the direct recomputation above
+        MergePolicy.planInvariants(splits, plans, small).all
     }
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("planInvariants flags violations in corrupted plans") {
+    val cfg = MergePolicy.Config(mergeFactor = 3, maxMergeFactor = 4,
+      minLevelNumDocs = 100L, splitNumDocsTarget = 10000L)
+    val splits = (0 until 8).map(i => split(s"s$i", 500L + i, 0L, i * 1000L))
+    val plan = MergePolicy.planMerges(splits, cfg)
+    assert(MergePolicy.planInvariants(splits, plan, cfg).all)
+    // undersized batch
+    assert(!MergePolicy.planInvariants(splits, Seq(splits.take(2)), cfg).sizesInBounds)
+    // mature split in a batch
+    val mature = split("big", 20000L, 0L, 0L)
+    assert(!MergePolicy.planInvariants(splits :+ mature,
+      Seq(splits.take(2) :+ mature), cfg).allImmature)
+    // duplicate source across batches
+    assert(!MergePolicy.planInvariants(splits,
+      Seq(splits.take(3), splits.slice(2, 5)), cfg).sourcesDisjoint)
+    // leftover group of >= mergeFactor unplanned candidates
+    assert(!MergePolicy.planInvariants(splits, Seq(splits.take(4)), cfg).leftoverOk)
   }
 }
