@@ -603,6 +603,30 @@ object SparkEntry {
         .select(col("doc_id"), explode(Tokenizers.enStem(col("text"))).as("token"))
         .groupBy("doc_id").agg(countDistinct("token").as("stem_cardinality"))),
 
+    // ---- custom tokenizer registry (U1) ----------------------------------
+    // ngram(3,3) + lower_caser over a text prefix; character n-grams are
+    // SQL-expressible, so the oracle rebuilds the same (pos, gram) stream.
+    "t_custom_ngram" -> ((s, d) => {
+      import graft.functions.TokenizerRegistry._
+      val reg = new Registry(Seq(TokenizerEntry("doc_trigram",
+        TokenizerConfig(Ngram(3, 3), Seq(LowerCaser)))))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(reg.byName("doc_trigram")(substring(col("text"), 1, 40))))
+        .withColumnRenamed("pos", "gram_pos").withColumnRenamed("col", "gram")
+    }),
+
+    // regex tokenizer + remove_long filter; DuckDB regexp_extract_all
+    // mirrors the match stream, list indexing mirrors positions.
+    "t_custom_regex" -> ((s, d) => {
+      import graft.functions.TokenizerRegistry._
+      val reg = new Registry(Seq(TokenizerEntry("long_words",
+        TokenizerConfig(Regex("[a-z]{4,}"), Seq(RemoveLong)))))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(reg.byName("long_words")(col("text"))))
+        .withColumnRenamed("pos", "tok_pos").withColumnRenamed("col", "token")
+    }),
+
     // ---- tag sets (A12) --------------------------------------------------
     "a_tag_sets" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("source"))
@@ -1070,6 +1094,19 @@ object SparkEntry {
       """SELECT doc_id, token FROM (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''""".stripMargin,
+
+    "t_custom_ngram" ->
+      """WITH s AS (SELECT doc_id, lower(substr(text, 1, 40)) AS st FROM documents
+        |           WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS gram_pos, substr(st, CAST(i AS INT), 3) AS gram
+        |FROM s, unnest(generate_series(1, strlen(st) - 2)) t(i)
+        |WHERE strlen(st) >= 3""".stripMargin,
+
+    "t_custom_regex" ->
+      """WITH m AS (SELECT doc_id, regexp_extract_all(text, '[a-z]{4,}') AS l FROM documents
+        |           WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS tok_pos, l[CAST(i AS INT)] AS token
+        |FROM m, unnest(generate_series(1, len(l))) t(i)""".stripMargin,
 
     "a_tag_sets" ->
       """SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS tags,

@@ -51,12 +51,14 @@ object Tokenizers {
         regexp_replace(coalesce(c, lit("")), "(\\p{Ll})(\\p{Lu})", "$1 $2"),
         "(\\p{L})(\\p{N})", "$1 $2"),
       "(\\p{N})(\\p{L})", "$1 $2")
-    // ascii folding for the common latin-1 accents (é→e etc.)
-    val folded = translate(broken,
-      "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ",
-      "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY")
-    default(folded)
+    default(asciiFold(broken))
   }
+
+  /** ascii folding for the common latin-1 accents (é→e etc.) — shared by
+    * `source_code_default` and the custom-registry `ascii_folding` filter. */
+  def asciiFold(c: Column): Column = translate(c,
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ",
+    "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY")
 
   /** en_stem: default + the REAL Porter stemmer (tantivy's
     * Stemmer(Language::English) = Porter; TokenizersSpec pins the published
@@ -98,29 +100,28 @@ object Tokenizers {
 
   /** multilang: per-value language detection (or an explicit `ENG:`/`CMN:`/
     * `JPN:`/`KOR:` prefix override) dispatching to a per-language analyzer
-    * (tokenizers/multilang.rs:65-150). Documented divergences from the
-    * reference: detection is script-presence based (the reference embeds the
-    * whichlang n-gram classifier), and Japanese/Korean segment per-CJK-char/
+    * (tokenizers/multilang.rs:65-150). Detection is [[LangDetect]] — script
+    * blocks decide CJK outright, latin text scores against embedded
+    * function-word profiles (whichlang's decision shape; r2's script-
+    * presence dispatch misread latin-script non-English as `eng`).
+    * Remaining documented divergence: Japanese/Korean segment per-CJK-char/
     * by-script-run (the reference links the Lindera dictionary tokenizer —
     * no dictionaries exist offline). The dispatch shape, prefix contract and
-    * CMN/ENG paths match. */
+    * CMN/ENG paths match — all non-CJK languages take the default analyzer,
+    * exactly as the reference's `_ => SimpleTokenizer` arm. */
   def multilang(c: Column): Column = {
     val t = coalesce(c, lit(""))
     val prefix = substring(t, 1, 4)
     val body = when(prefix.isin("ENG:", "CMN:", "JPN:", "KOR:"), substring(t, 5, Int.MaxValue))
       .otherwise(t)
-    val hasHan = body.rlike("[\\x{3400}-\\x{9FFF}\\x{20000}-\\x{2CEAF}]")
-    val hasKana = body.rlike("[\\x{3040}-\\x{30FF}]")
-    val hasHangul = body.rlike("[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]")
     val lang = when(prefix === "ENG:", "eng").when(prefix === "CMN:", "cmn")
       .when(prefix === "JPN:", "jpn").when(prefix === "KOR:", "kor")
-      .when(hasKana, "jpn").when(hasHangul, "kor").when(hasHan, "cmn")
-      .otherwise("eng")
+      .otherwise(LangDetect.detectLanguage(body))
     // kana/hangul treated like the CJK split: insert breaks per script char
     val cjkAll = "[\\x{3400}-\\x{9FFF}\\x{20000}-\\x{2CEAF}\\x{3040}-\\x{30FF}]"
-    when(lang === "eng", default(body))
-      .when(lang === "cmn", chineseCompatible(body))
-      .otherwise(default(regexp_replace(body, s"($cjkAll)", " $1 ")))
+    when(lang === "cmn", chineseCompatible(body))
+      .when(lang.isin("jpn", "kor"), default(regexp_replace(body, s"($cjkAll)", " $1 ")))
+      .otherwise(default(body))
   }
 
   /** Tokenizer lookup by reference name. */

@@ -81,6 +81,32 @@ class RoutingSpec extends SparkTestBase {
     assert(spread > 1L)
   }
 
+  test("cap path: cached variant scans the source once (filesystem byte count)") {
+    import spark.implicits._
+    val dir = tmpDir("route_scan")
+    (0 until 20000).map(i => (s"k${i % 500}", i)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    def fsBytesRead(): Long =
+      org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
+    val expr = Routing.parse("k") // Field → cap path (not the hash_mod fast path)
+    // baseline: plain variant, rank pass + consumer each scan the source
+    val plain = spark.read.parquet(dir)
+    val b0 = fsBytesRead()
+    Routing.withPartitionId(plain, expr, maxPartitions = 16).count()
+    val plainBytes = fsBytesRead() - b0
+    // cached variant: rank materializes the cache, consumer replays it
+    val cached = spark.read.parquet(dir)
+    val b1 = fsBytesRead()
+    Routing.withPartitionIdCached(cached, expr, maxPartitions = 16).count()
+    val cachedBytes = fsBytesRead() - b1
+    cached.unpersist()
+    // plain reads the files twice; cached strictly less than 1.5 single
+    // scans (footer reads make exact 1.0 too strict)
+    assert(plainBytes > 0)
+    assert(cachedBytes < plainBytes * 3 / 4,
+      s"cached=$cachedBytes plain=$plainBytes — expected ~half")
+  }
+
   test("property: routing determinism over arbitrary key sets") {
     import spark.implicits._
     val prop = Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr)) { keys =>
