@@ -603,6 +603,51 @@ object SparkEntry {
         .select(col("doc_id"), explode(Tokenizers.enStem(col("text"))).as("token"))
         .groupBy("doc_id").agg(countDistinct("token").as("stem_cardinality"))),
 
+    // ---- typed mapping-tree projection (P2) ------------------------------
+    // Nested-JSON docs synthesized DETERMINISTICALLY from transcripts (the
+    // oracle rebuilds the identical doc string), then parsed through the
+    // config-driven mapping tree in Dynamic mode. Variety by turn_idx mod:
+    // %5 string-typed score (coerce), %7 float score (i64 value_error),
+    // %11 unmapped field (dynamic capture), %13 scalar-at-multi tags,
+    // %17 malformed doc (json_parse_error). The oracle mirrors the typed
+    // dispatch through DuckDB json_type/json_extract — same JSON-kind
+    // decisions the variant compiler makes.
+    "p_mapping_tree" -> ((s, d) => {
+      import graft.parse.MappingTree._
+      val tr = transcripts(s, d)
+      val n = pmod(col("turn_idx"), lit(100))
+      val scoreJson = when(pmod(col("turn_idx"), lit(5)) === 0, concat(lit("\""), n, lit("\"")))
+        .when(pmod(col("turn_idx"), lit(7)) === 0, concat(n, lit(".5")))
+        .otherwise(n.cast("string"))
+      val tagsJson = when(pmod(col("turn_idx"), lit(13)) === 0, n.cast("string"))
+        .otherwise(concat(lit("["), n, lit(","), n + 1, lit("]")))
+      val extraJson = when(pmod(col("turn_idx"), lit(11)) === 0,
+        concat(lit(",\"extra_field\":"), n)).otherwise(lit(""))
+      val doc = when(pmod(col("turn_idx"), lit(17)) === 0 && col("turn_idx") > 0, lit("oops"))
+        .otherwise(concat(
+          lit("{\"conv_id\":\""), col("conv_id"), lit("\",\"turn\":"), col("turn_idx"),
+          lit(",\"meta\":{\"role\":\""), col("role"), lit("\",\"score\":"), scoreJson,
+          lit(",\"tags\":"), tagsJson, lit("}"), extraJson,
+          lit(",\"ts\":"), unix_seconds(col("ts").cast("timestamp_ltz")), lit("}")))
+      val mapping = DocMapping(Seq(
+        Leaf("conv_id", TText),
+        Leaf("turn", TI64),
+        Node("meta", Seq(
+          Leaf("role", TText),
+          Leaf("score", TI64),
+          Leaf("tags", TI64, multi = true))),
+        Leaf("ts", TDateTime(Seq("unix_timestamp")))), mode = Dynamic)
+      graft.parse.MappingTree.parse(
+          tr.select(doc.as("doc"), col("conv_id").as("orig_conv"), col("turn_idx").as("orig_turn")),
+          col("doc"), mapping)
+        .select(col("orig_conv"), col("orig_turn"),
+          col("conv_id"), col("turn"),
+          col("`meta.role`").as("role"), col("`meta.score`").as("score"),
+          array_join(transform(col("`meta.tags`"), t => t.cast("string")), ",").as("tags_csv"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("parse_error_field"), col("parse_error_kind"), col("dynamic_json"))
+    }),
+
     // ---- custom tokenizer registry (U1) ----------------------------------
     // ngram(3,3) + lower_caser over a text prefix; character n-grams are
     // SQL-expressible, so the oracle rebuilds the same (pos, gram) stream.
@@ -1094,6 +1139,51 @@ object SparkEntry {
       """SELECT doc_id, token FROM (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''""".stripMargin,
+
+    // Mirrors the mapping-tree parse: rebuilds the SAME doc string, then
+    // re-derives every typed column through DuckDB's json_type/json_extract
+    // — the same JSON-kind dispatch (string vs integer vs double) that
+    // drives coerce/value_error decisions in the variant compiler.
+    "p_mapping_tree" -> (TranscriptsCte +
+      """, docs AS (
+        |  SELECT conv_id AS orig_conv, turn_idx AS orig_turn,
+        |    CASE WHEN turn_idx % 17 = 0 AND turn_idx > 0 THEN 'oops'
+        |         ELSE '{"conv_id":"' || conv_id || '","turn":' || CAST(turn_idx AS VARCHAR) ||
+        |              ',"meta":{"role":"' || role || '","score":' ||
+        |              CASE WHEN turn_idx % 5 = 0 THEN '"' || CAST(turn_idx % 100 AS VARCHAR) || '"'
+        |                   WHEN turn_idx % 7 = 0 THEN CAST(turn_idx % 100 AS VARCHAR) || '.5'
+        |                   ELSE CAST(turn_idx % 100 AS VARCHAR) END ||
+        |              ',"tags":' ||
+        |              CASE WHEN turn_idx % 13 = 0 THEN CAST(turn_idx % 100 AS VARCHAR)
+        |                   ELSE '[' || CAST(turn_idx % 100 AS VARCHAR) || ',' || CAST(turn_idx % 100 + 1 AS VARCHAR) || ']' END ||
+        |              '}' ||
+        |              CASE WHEN turn_idx % 11 = 0 THEN ',"extra_field":' || CAST(turn_idx % 100 AS VARCHAR) ELSE '' END ||
+        |              ',"ts":' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '}'
+        |    END AS doc
+        |  FROM transcripts),
+        |parsed AS (SELECT *, json_valid(doc) AS ok FROM docs)
+        |SELECT orig_conv, orig_turn,
+        |  CASE WHEN ok THEN json_extract_string(doc, '$.conv_id') END AS conv_id,
+        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.turn') AS BIGINT) END AS turn,
+        |  CASE WHEN ok THEN json_extract_string(doc, '$.meta.role') END AS role,
+        |  CASE WHEN NOT ok THEN NULL
+        |       WHEN json_type(doc, '$.meta.score') IN ('BIGINT', 'UBIGINT')
+        |         THEN CAST(json_extract(doc, '$.meta.score') AS BIGINT)
+        |       WHEN json_type(doc, '$.meta.score') = 'VARCHAR'
+        |         THEN TRY_CAST(json_extract_string(doc, '$.meta.score') AS BIGINT)
+        |       ELSE NULL END AS score,
+        |  CASE WHEN NOT ok THEN NULL
+        |       WHEN json_type(doc, '$.meta.tags') = 'ARRAY'
+        |         THEN array_to_string(CAST(json_extract(doc, '$.meta.tags') AS BIGINT[]), ',')
+        |       ELSE CAST(CAST(json_extract(doc, '$.meta.tags') AS BIGINT) AS VARCHAR) END AS tags_csv,
+        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.ts') AS BIGINT) * 1000000 END AS ts_us,
+        |  CASE WHEN NOT ok THEN ''
+        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'meta.score' END AS parse_error_field,
+        |  CASE WHEN NOT ok THEN 'json_parse_error'
+        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'value_error' END AS parse_error_kind,
+        |  CASE WHEN ok AND orig_turn % 11 = 0
+        |       THEN '{"extra_field":' || CAST(orig_turn % 100 AS VARCHAR) || '}' END AS dynamic_json
+        |FROM parsed""".stripMargin),
 
     "t_custom_ngram" ->
       """WITH s AS (SELECT doc_id, lower(substr(text, 1, 40)) AS st FROM documents
