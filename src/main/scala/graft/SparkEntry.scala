@@ -590,6 +590,39 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // ---- ES serve-layer endpoints (thin shells over existing compute) ----
+    "es_count" -> ((s, d) => {
+      import s.implicits._
+      val n = graft.queryast.EsApi.countQuery(t(s, d, "documents"), docResolver,
+        Some("""{"bool": {
+                |  "must": [{"match": {"text": {"query": "spark vector", "operator": "or"}}}],
+                |  "filter": [{"term": {"lang": "en"}}]}}""".stripMargin))
+      Seq(n).toDF("count")
+    }),
+
+    // one msearch batch = ONE shared-scan aggregate for all sub-queries
+    "es_msearch" -> ((s, d) =>
+      graft.queryast.EsApi.msearch(t(s, d, "documents"), docResolver, col("doc_id"),
+        Seq(
+          """{"match": {"text": "vector"}}""",
+          """{"term": {"lang": "de"}}""",
+          """{"bool": {"must": [{"range": {"doc_id": {"lt": 50}}}, {"exists": {"field": "text"}}]}}"""),
+        size = 10)
+        .orderBy("query_idx")),
+
+    "es_field_caps" -> ((s, d) => {
+      import s.implicits._
+      graft.queryast.EsApi.fieldCaps(t(s, d, "documents"), docResolver)
+        .toDF("field", "es_type", "searchable", "aggregatable")
+        .orderBy("field")
+    }),
+
+    "es_cat_indices" -> ((s, d) =>
+      graft.queryast.EsApi.catIndices(Seq(
+        ("documents", t(s, d, "documents"), col("text")),
+        ("events", t(s, d, "events"), col("event_type"))))
+        .orderBy("index")),
+
     // ---- more tokenizers -------------------------------------------------
     "t_whitespace" -> ((s, d) =>
       t(s, d, "documents")
@@ -1184,6 +1217,49 @@ object SparkEntry {
         |  CASE WHEN ok AND orig_turn % 11 = 0
         |       THEN '{"extra_field":' || CAST(orig_turn % 100 AS VARCHAR) || '}' END AS dynamic_json
         |FROM parsed""".stripMargin),
+
+    "es_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS count FROM documents
+        |WHERE (' ' || lower(text) || ' ' LIKE '% spark %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% vector %')
+        |  AND lang = 'en'""".stripMargin,
+
+    "es_msearch" ->
+      """WITH q0 AS (SELECT doc_id FROM documents WHERE ' ' || lower(text) || ' ' LIKE '% vector %'),
+        |q1 AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+        |q2 AS (SELECT doc_id FROM documents WHERE doc_id < 50 AND text IS NOT NULL)
+        |SELECT CAST(0 AS BIGINT) AS query_idx,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM q0) AS total,
+        |  coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |            FROM (SELECT doc_id FROM q0 ORDER BY doc_id LIMIT 10)), '') AS top_doc_ids
+        |UNION ALL SELECT 1, (SELECT CAST(count(*) AS BIGINT) FROM q1),
+        |  coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |            FROM (SELECT doc_id FROM q1 ORDER BY doc_id LIMIT 10)), '')
+        |UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM q2),
+        |  coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |            FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 10)), '')
+        |ORDER BY query_idx""".stripMargin,
+
+    "es_field_caps" ->
+      """SELECT field, es_type, TRUE AS searchable, (es_type <> 'text') AS aggregatable
+        |FROM (
+        |  SELECT column_name AS field,
+        |    CASE WHEN column_name = 'text' THEN 'text'
+        |         WHEN column_type = 'VARCHAR' THEN 'keyword'
+        |         WHEN column_type = 'BIGINT' THEN 'long'
+        |         WHEN column_type = 'DOUBLE' THEN 'double'
+        |         WHEN column_type = 'TIMESTAMP' THEN 'date'
+        |         ELSE 'object' END AS es_type
+        |  FROM (DESCRIBE SELECT * FROM documents))
+        |ORDER BY field""".stripMargin,
+
+    "es_cat_indices" ->
+      """SELECT 'documents' AS index, CAST(count(*) AS BIGINT) AS docs_count,
+        |  CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS store_bytes FROM documents
+        |UNION ALL
+        |SELECT 'events', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(strlen(event_type)), 0) AS BIGINT) FROM events
+        |ORDER BY index""".stripMargin,
 
     "t_custom_ngram" ->
       """WITH s AS (SELECT doc_id, lower(substr(text, 1, 40)) AS st FROM documents
