@@ -62,13 +62,11 @@ object Tokenizers {
 
   /** en_stem: default + the REAL Porter stemmer (tantivy's
     * Stemmer(Language::English) = Porter; TokenizersSpec pins the published
-    * Porter example vocabulary). Per-token loop ⇒ a UDF over the token
-    * array — token payloads are tiny, so this sits off the byte-bandwidth
-    * hot path; `enStemLite` below remains the UDF-free approximation. */
-  private val stemArray =
-    udf((tokens: Seq[String]) => if (tokens == null) tokens else tokens.map(PorterStemmer.stem))
-
-  def enStem(c: Column): Column = stemArray(default(c))
+    * Porter example vocabulary). r3: a native Catalyst expression
+    * ([[StemTokens]]) rather than a UDF, so the whole tokenizer chain stays
+    * inside whole-stage codegen; `enStemLite` below remains the pure-regex
+    * approximation. */
+  def enStem(c: Column): Column = StemTokens.stem(default(c))
 
   /** UDF-free regex approximation of en_stem (common -ing/-ed/-ies/-s
     * families only) for fully-codegen'd pipelines that can trade stemming
