@@ -94,6 +94,41 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pipeRouteAgg(spark, "/root/testdata/sf0.001")
 
+  /** Shared input for the mapping-tree queries: nested-JSON docs derived
+    * DETERMINISTICALLY from transcripts (the oracle rebuilds the identical
+    * string) + the mapping config. Variety by turn_idx mod: %5 string-typed
+    * score (coerce), %7 float score (i64 value_error), %11 unmapped field
+    * (dynamic capture), %13 scalar-at-multi tags, %17 malformed doc. */
+  private def mappingTreeInput(s: SparkSession, d: String)
+      : (DataFrame, graft.parse.MappingTree.DocMapping) = {
+    import graft.parse.MappingTree._
+    val tr = transcripts(s, d)
+    val n = pmod(col("turn_idx"), lit(100))
+    val scoreJson = when(pmod(col("turn_idx"), lit(5)) === 0, concat(lit("\""), n, lit("\"")))
+      .when(pmod(col("turn_idx"), lit(7)) === 0, concat(n, lit(".5")))
+      .otherwise(n.cast("string"))
+    val tagsJson = when(pmod(col("turn_idx"), lit(13)) === 0, n.cast("string"))
+      .otherwise(concat(lit("["), n, lit(","), n + 1, lit("]")))
+    val extraJson = when(pmod(col("turn_idx"), lit(11)) === 0,
+      concat(lit(",\"extra_field\":"), n)).otherwise(lit(""))
+    val doc = when(pmod(col("turn_idx"), lit(17)) === 0 && col("turn_idx") > 0, lit("oops"))
+      .otherwise(concat(
+        lit("{\"conv_id\":\""), col("conv_id"), lit("\",\"turn\":"), col("turn_idx"),
+        lit(",\"meta\":{\"role\":\""), col("role"), lit("\",\"score\":"), scoreJson,
+        lit(",\"tags\":"), tagsJson, lit("}"), extraJson,
+        lit(",\"ts\":"), unix_seconds(col("ts").cast("timestamp_ltz")), lit("}")))
+    val mapping = DocMapping(Seq(
+      Leaf("conv_id", TText),
+      Leaf("turn", TI64),
+      Node("meta", Seq(
+        Leaf("role", TText),
+        Leaf("score", TI64),
+        Leaf("tags", TI64, multi = true))),
+      Leaf("ts", TDateTime(Seq("unix_timestamp")))), mode = Dynamic)
+    (tr.select(doc.as("doc"), col("conv_id").as("orig_conv"),
+       col("turn_idx").as("orig_turn")), mapping)
+  }
+
   private def parsedTranscripts(s: SparkSession, dir: String): DataFrame =
     DocParser.withParsedColumns(transcripts(s, dir).filter(col("text").isNotNull))
 
@@ -646,39 +681,25 @@ object SparkEntry {
     // dispatch through DuckDB json_type/json_extract — same JSON-kind
     // decisions the variant compiler makes.
     "p_mapping_tree" -> ((s, d) => {
-      import graft.parse.MappingTree._
-      val tr = transcripts(s, d)
-      val n = pmod(col("turn_idx"), lit(100))
-      val scoreJson = when(pmod(col("turn_idx"), lit(5)) === 0, concat(lit("\""), n, lit("\"")))
-        .when(pmod(col("turn_idx"), lit(7)) === 0, concat(n, lit(".5")))
-        .otherwise(n.cast("string"))
-      val tagsJson = when(pmod(col("turn_idx"), lit(13)) === 0, n.cast("string"))
-        .otherwise(concat(lit("["), n, lit(","), n + 1, lit("]")))
-      val extraJson = when(pmod(col("turn_idx"), lit(11)) === 0,
-        concat(lit(",\"extra_field\":"), n)).otherwise(lit(""))
-      val doc = when(pmod(col("turn_idx"), lit(17)) === 0 && col("turn_idx") > 0, lit("oops"))
-        .otherwise(concat(
-          lit("{\"conv_id\":\""), col("conv_id"), lit("\",\"turn\":"), col("turn_idx"),
-          lit(",\"meta\":{\"role\":\""), col("role"), lit("\",\"score\":"), scoreJson,
-          lit(",\"tags\":"), tagsJson, lit("}"), extraJson,
-          lit(",\"ts\":"), unix_seconds(col("ts").cast("timestamp_ltz")), lit("}")))
-      val mapping = DocMapping(Seq(
-        Leaf("conv_id", TText),
-        Leaf("turn", TI64),
-        Node("meta", Seq(
-          Leaf("role", TText),
-          Leaf("score", TI64),
-          Leaf("tags", TI64, multi = true))),
-        Leaf("ts", TDateTime(Seq("unix_timestamp")))), mode = Dynamic)
-      graft.parse.MappingTree.parse(
-          tr.select(doc.as("doc"), col("conv_id").as("orig_conv"), col("turn_idx").as("orig_turn")),
-          col("doc"), mapping)
+      val (docs, mapping) = mappingTreeInput(s, d)
+      graft.parse.MappingTree.parse(docs, col("doc"), mapping)
         .select(col("orig_conv"), col("orig_turn"),
           col("conv_id"), col("turn"),
           col("`meta.role`").as("role"), col("`meta.score`").as("score"),
           array_join(transform(col("`meta.tags`"), t => t.cast("string")), ",").as("tags_csv"),
           unix_micros(col("ts")).as("ts_us"),
           col("parse_error_field"), col("parse_error_kind"), col("dynamic_json"))
+    }),
+
+    // parse → docToJson round-trip (populate_json, P6 nested depth): the
+    // oracle reconstructs the expected rendered JSON from the same input
+    // derivation — coerced strings come back as numbers, error leaves are
+    // omitted, datetimes render RFC 3339 UTC.
+    "p_mapping_roundtrip" -> ((s, d) => {
+      val (docs, mapping) = mappingTreeInput(s, d)
+      graft.parse.MappingTree.parse(docs, col("doc"), mapping)
+        .select(col("orig_conv"), col("orig_turn"),
+          graft.parse.MappingTree.docToJson(mapping).as("doc_json"))
     }),
 
     // ---- custom tokenizer registry (U1) ----------------------------------
@@ -1172,6 +1193,26 @@ object SparkEntry {
       """SELECT doc_id, token FROM (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''""".stripMargin,
+
+    // Round-trip oracle: reconstructs the RENDERED JSON from the input
+    // derivation — coerced string scores come back as numbers, value_error
+    // leaves are omitted, malformed docs render as the empty mapped shape.
+    "p_mapping_roundtrip" -> (TranscriptsCte +
+      """SELECT conv_id AS orig_conv, turn_idx AS orig_turn,
+        |  CASE WHEN turn_idx % 17 = 0 AND turn_idx > 0 THEN '{"meta":{}}'
+        |  ELSE '{"conv_id":"' || conv_id || '","turn":' || CAST(turn_idx AS VARCHAR) ||
+        |    ',"meta":{"role":"' || role || '"' ||
+        |    CASE WHEN turn_idx % 5 = 0 THEN ',"score":' || CAST(turn_idx % 100 AS VARCHAR)
+        |         WHEN turn_idx % 7 = 0 THEN ''
+        |         ELSE ',"score":' || CAST(turn_idx % 100 AS VARCHAR) END ||
+        |    ',"tags":' ||
+        |    CASE WHEN turn_idx % 13 = 0 THEN '[' || CAST(turn_idx % 100 AS VARCHAR) || ']'
+        |         ELSE '[' || CAST(turn_idx % 100 AS VARCHAR) || ',' || CAST(turn_idx % 100 + 1 AS VARCHAR) || ']' END ||
+        |    '},"ts":"' ||
+        |    strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000), '%Y-%m-%dT%H:%M:%SZ') ||
+        |    '"}'
+        |  END AS doc_json
+        |FROM transcripts""".stripMargin),
 
     // Mirrors the mapping-tree parse: rebuilds the SAME doc string, then
     // re-derives every typed column through DuckDB's json_type/json_extract

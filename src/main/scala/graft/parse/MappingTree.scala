@@ -262,6 +262,34 @@ object MappingTree {
       dynamicJson = dynamicJson)
   }
 
+  /** Doc → JSON back-projection (populate_json, mapping_tree.rs:148-244):
+    * re-render a PARSED frame (the flattened typed columns [[parse]]
+    * produces) as a nested JSON document. Per-type output formats mirror
+    * `value_to_json`: bytes → base64, datetime → RFC 3339 UTC, numbers
+    * plain; keys at each level are the RAW segment names (dotted names stay
+    * literal keys); absent (null) leaves are omitted, like the reference's
+    * named-doc skip. Divergence: a node whose every child is absent renders
+    * `{}` rather than disappearing (struct rendering), and key order is
+    * mapping declaration order (the reference's hash-map walk order is
+    * arbitrary). */
+  def docToJson(m: DocMapping): Column = {
+    def leafOut(leaf: Leaf, path: Seq[String]): Column = {
+      val c = col("`" + fieldName(path) + "`")
+      def fmt(one: Column): Column = leaf.typ match {
+        case TBytes       => base64(one)
+        case TDateTime(_) => date_format(one, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        case _            => one
+      }
+      if (leaf.multi) transform(c, e => fmt(e)) else fmt(c)
+    }
+    def walk(ms: Seq[Mapping], path: Seq[String]): Column =
+      struct(ms.map {
+        case l: Leaf => leafOut(l, path :+ l.name).as(l.name)
+        case n: Node => walk(n.children, path :+ n.name).as(n.name)
+      }: _*)
+    to_json(walk(m.fieldMappings, Nil)) // ignoreNullFields (default) = omit absents
+  }
+
   /** Apply a mapping to a frame: one typed column per leaf (escaped flat
     * names), `parse_error_field`/`parse_error_kind` (null when the doc
     * parsed clean), `dynamic_json` in Dynamic mode, `_source` when

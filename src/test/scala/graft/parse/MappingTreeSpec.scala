@@ -81,6 +81,26 @@ class MappingTreeSpec extends SparkTestBase {
     assert(r.getAs[Any]("parse_error_kind") === null)
   }
 
+  test("docToJson: parse → back-projection round-trip (populate_json analog)") {
+    import spark.implicits._
+    val rendered = MappingTree.parse(Seq(goldenDoc).toDF("json"), col("json"), goldenMapping)
+      .select(MappingTree.docToJson(goldenMapping).as("out"))
+      .collect()(0).getString(0)
+    // value_to_json formats: datetime rfc3339 UTC, bytes base64, numbers
+    // plain; absent leaves (properties, children) omitted; dotted names
+    // stay literal keys inside attributes; mapping declaration order
+    assert(rendered ===
+      """{"timestamp":"2020-04-15T14:23:06Z",""" +
+      """"body":"20200415T072306-0700 INFO This is a great log",""" +
+      """"response_date":"2021-12-19T16:39:57Z",""" +
+      """"response_time":2.3,""" +
+      """"response_payload":"YWJj",""" +
+      """"owner":"foo",""" +
+      """"isImportant":false,""" +
+      """"attributes":{"tags":[22,23],"server":"ABC",""" +
+      """"server.status":["200","201"],"server.payload":["YQ==","Yg=="]}}""")
+  }
+
   test("numeric coercion matrix (mapping_tree.rs:889-1000)") {
     def one(doc: String, typ: LeafType, coerce: Boolean = true): (Any, Any) = {
       val r = parseOne(doc, DocMapping(Seq(Leaf("n", typ, coerce = coerce))))
