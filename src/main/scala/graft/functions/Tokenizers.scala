@@ -41,14 +41,23 @@ object Tokenizers {
   def whitespace(c: Column): Column =
     filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "" && length(t) <= MaxTokenLen)
 
-  /** source_code_default: insert breaks at lower→Upper and letter→digit
-    * boundaries, ascii-fold accents, then tokenize like `default`.
-    * Covers the reference's documented test cases; full UTS#29 word
-    * segmentation is out of scope. */
+  /** source_code_default: the reference's CodeTokenizer char-class state
+    * machine (code_tokenizer.rs:96-237) re-expressed as break-inserting
+    * regexes, then RemoveLong + LowerCaser + AsciiFolding via `default`
+    * (the analyzer chain at tokenizers/mod.rs:76-83). Char classes are
+    * Upper = `\p{Lu}`, Lower = any OTHER letter (uncased scripts and
+    * titlecase count as lower, matching Rust's `is_alphabetic &&
+    * !is_uppercase`), Numeric = `\p{N}`; breaks at every class change
+    * except a SINGLE leading upper absorbed by a lower run ("Pig"), with
+    * an upper run splitting before its last char when a lower follows
+    * ("ABCa" → "AB","Ca" — code_tokenizer.rs:145-166). */
   def sourceCode(c: Column): Column = {
+    val lowerCls = "[\\p{L}&&[^\\p{Lu}]]" // Rust LowerCase class: alphabetic, not uppercase
     val broken = regexp_replace(
       regexp_replace(
-        regexp_replace(coalesce(c, lit("")), "(\\p{Ll})(\\p{Lu})", "$1 $2"),
+        regexp_replace(
+          regexp_replace(coalesce(c, lit("")), s"(\\p{Lu})(\\p{Lu}$lowerCls)", "$1 $2"),
+          s"($lowerCls)(\\p{Lu})", "$1 $2"),
         "(\\p{L})(\\p{N})", "$1 $2"),
       "(\\p{N})(\\p{L})", "$1 $2")
     default(asciiFold(broken))

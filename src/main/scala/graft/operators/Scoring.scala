@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * per-doc sum is map-side combined. At warehouse scale the postings frame
   * and (N, avgdl, df) stats come precomputed from the split metadata
   * (IndexingPipeline writes term/postings cardinalities per split) instead
-  * of being derived inline — see [[bm25Precomputed]].
+  * of being derived inline — see [[bm25FromPostings]].
   *
   * Documented divergence: tantivy quantizes doc length through a lossy
   * byte-encoded fieldnorm before scoring (one byte per doc, ~4% relative

@@ -296,12 +296,16 @@ object MappingTree {
     * `storeSource` (SOURCE_FIELD_NAME analog). Keeps the input columns. */
   def parse(df: DataFrame, jsonCol: Column, m: DocMapping): DataFrame = {
     val c = compile(jsonCol, m)
-    val base = c.values.foldLeft(df) { case (acc, (name, col)) => acc.withColumn(name, col) }
-    val withErr = base
-      .withColumn("parse_error_field", c.errorField)
-      .withColumn("parse_error_kind", c.errorKind)
-    val withDyn =
-      if (m.mode == Dynamic) withErr.withColumn("dynamic_json", c.dynamicJson) else withErr
-    if (m.storeSource) withDyn.withColumn("_source", jsonCol) else withDyn
+    // single select (not a withColumn fold — that re-analyzes the plan per
+    // leaf, quadratic in mapping width; real log mappings have 100s of leaves)
+    val added: Seq[(String, Column)] =
+      c.values ++
+        Seq("parse_error_field" -> c.errorField, "parse_error_kind" -> c.errorKind) ++
+        (if (m.mode == Dynamic) Seq("dynamic_json" -> c.dynamicJson) else Nil) ++
+        (if (m.storeSource) Seq("_source" -> jsonCol) else Nil)
+    val addedNames = added.map(_._1).toSet
+    val kept = df.columns.filterNot(addedNames)
+      .map(n => df.col("`" + n.replace("`", "``") + "`")) // dots in names stay literal
+    df.select(kept ++ added.map { case (n, col) => col.as(n) }: _*)
   }
 }

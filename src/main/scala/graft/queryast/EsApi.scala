@@ -44,19 +44,21 @@ object EsApi {
         }: _*),
         s => s.getField("m"))).as("_q"))
       .select(col("_q.query_idx").as("query_idx"), col("_doc_id"))
-    // two-phase top-k per query (NOT a per-query window — a match-all
-    // sub-query would funnel the whole corpus through one window task):
-    // local top-`size` per (query, input partition), then a final combine
-    // over at most partitions×size ids per query
-    val local = tagged
-      .groupBy(col("query_idx"), spark_partition_id().as("_part"))
-      .agg(count(lit(1)).as("_n"),
-        slice(sort_array(collect_list(col("_doc_id"))), 1, size).as("_top"))
-    val agg = local
+    // two-phase top-k per query (NOT a per-query global window — a
+    // match-all sub-query would funnel the whole corpus through one window
+    // task): rank within each (query, INPUT partition) — a spillable sort
+    // whose partitions are bounded by scan-partition size — keep only each
+    // partition's top `size`, so the final per-query collect buffer holds
+    // ≤ #partitions × size ids (collect_list skips the nulled rest)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_idx"), col("_part")).orderBy(col("_doc_id"))
+    val agg = tagged
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_rn", row_number().over(w))
       .groupBy("query_idx")
-      .agg(sum("_n").as("total"),
+      .agg(count(lit(1)).as("total"),
         array_join(transform(
-          slice(sort_array(flatten(collect_list(col("_top")))), 1, size),
+          slice(sort_array(collect_list(when(col("_rn") <= size, col("_doc_id")))), 1, size),
           d => d.cast("string")), ",").as("top_doc_ids"))
     // ES answers EVERY sub-search, zero-hit ones included — left-join the
     // query index list so empty queries yield (idx, 0, "")

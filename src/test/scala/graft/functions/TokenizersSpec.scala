@@ -54,6 +54,30 @@ class TokenizersSpec extends SparkTestBase {
       Seq("read", "file", "2", "parse"))
   }
 
+  test("source_code_default: the reference's remaining golden cases (code_tokenizer.rs:246-385)") {
+    // post-filter-chain (lowercased + folded) renditions of the raw
+    // CodeTokenizer expectations
+    assert(evalTokens("PIG_CAFE_FACTORY", Tokenizers.sourceCode) ===
+      Seq("pig", "cafe", "factory"))
+    assert(evalTokens("TPigCafeFactory", Tokenizers.sourceCode) ===
+      Seq("t", "pig", "cafe", "factory"))
+    assert(evalTokens("PIG# Cafe@FACTORY", Tokenizers.sourceCode) ===
+      Seq("pig", "cafe", "factory"))
+  }
+
+  test("source_code_default: upper-run splits before its last char when a lower follows") {
+    // "ABCa" → AB|Ca (code_tokenizer.rs:145-166); acronym-then-word shape
+    assert(evalTokens("HTMLParser", Tokenizers.sourceCode) === Seq("html", "parser"))
+    assert(evalTokens("ABCa", Tokenizers.sourceCode) === Seq("ab", "ca"))
+    assert(evalTokens("AAaa", Tokenizers.sourceCode) === Seq("a", "aaa"))
+  }
+
+  test("source_code_default: uncased letters are lower-class (break before a following upper)") {
+    // Rust is_alphabetic && !is_uppercase → LowerCase: 国A breaks, A国 merges
+    assert(evalTokens("国A", Tokenizers.sourceCode) === Seq("国", "a"))
+    assert(evalTokens("A国", Tokenizers.sourceCode) === Seq("a国"))
+  }
+
   test("en_stem: real Porter over the default token stream") {
     assert(evalTokens("running jumped stories glasses tokens", Tokenizers.enStem) ===
       Seq("run", "jump", "stori", "glass", "token"))

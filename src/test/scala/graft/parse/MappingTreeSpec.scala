@@ -101,6 +101,32 @@ class MappingTreeSpec extends SparkTestBase {
       """"server.status":["200","201"],"server.payload":["YQ==","Yg=="]}}""")
   }
 
+  test("doc mapper runs unchanged in Structured Streaming (pure column exprs)") {
+    // the indexing pipeline's streaming path can parse with the SAME
+    // mapping compiler — no state, no aggregation, so the projection
+    // composes with readStream like any narrow transform
+    import spark.implicits._
+    val in = tmpDir("mt_stream_in"); val out = tmpDir("mt_stream_out")
+    val cp = tmpDir("mt_stream_cp")
+    val docs = Seq(
+      """{"owner":"a","response_time":1.5}""",
+      """{"owner":"b","response_time":"2.5"}""", // coerced
+      "not json")
+    docs.toDF("json").write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema("json STRING").parquet(in)
+    MappingTree.parse(stream, col("json"), goldenMapping)
+      .select(col("owner"), col("response_time"), col("parse_error_kind"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[String]("owner"), r.getAs[Any]("response_time"),
+        r.getAs[String]("parse_error_kind"))).toSet
+    assert(got === Set(("a", 1.5, null), ("b", 2.5, null),
+      (null, null, "json_parse_error")))
+  }
+
   test("numeric coercion matrix (mapping_tree.rs:889-1000)") {
     def one(doc: String, typ: LeafType, coerce: Boolean = true): (Any, Any) = {
       val r = parseOne(doc, DocMapping(Seq(Leaf("n", typ, coerce = coerce))))
