@@ -532,6 +532,14 @@ object SparkEntry {
         Seq("spark", "vector"), k = 10)
         .withColumn("score", round(col("score"), 4))),
 
+    // tantivy-exact variant: per-doc dl passes through the lossy byte
+    // fieldnorm codec (Lucene SmallFloat byte-4) before the norm term —
+    // the oracle mirrors the codec bit-for-bit with DuckDB's bin()
+    "k_topk_score_fieldnorm" -> ((s, d) =>
+      Scoring.topKByScore(t(s, d, "documents"), col("doc_id"), col("text"),
+        Seq("spark", "vector"), k = 10, quantizeNorms = true)
+        .withColumn("score", round(col("score"), 4))),
+
     // ---- fetch-phase snippets (fetch_docs.rs:50-130) ---------------------
     "k_doc_fetch_snippets" -> ((s, d) => {
       import graft.queryast.QueryAst._
@@ -1443,6 +1451,29 @@ object SparkEntry {
         |  WHERE term <> ''),
         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |       WHERE term IN ('spark', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id,
+        |        ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |          * (tf.tf * (1.2 + 1.0))
+        |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(w), 4) AS score
+        |FROM w GROUP BY doc_id ORDER BY sum(w) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "k_topk_score_fieldnorm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |dl0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl0),
+        |dl AS (SELECT doc_id,
+        |         CASE WHEN dl < 32 THEN dl
+        |              ELSE 24 + (((((dl - 24) >> (length(bin(dl - 24)) - 4)) & 7) | 8)
+        |                        << (length(bin(dl - 24)) - 4)) END AS dl
+        |       FROM dl0),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
         |       WHERE term IN ('spark', 'vector') GROUP BY 1, 2),
         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
