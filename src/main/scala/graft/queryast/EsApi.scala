@@ -1,6 +1,6 @@
 package graft.queryast
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,21 +44,17 @@ object EsApi {
         }: _*),
         s => s.getField("m"))).as("_q"))
       .select(col("_q.query_idx").as("query_idx"), col("_doc_id"))
-    // two-phase top-k per query (NOT a per-query global window — a
-    // match-all sub-query would funnel the whole corpus through one window
-    // task): rank within each (query, INPUT partition) — a spillable sort
-    // whose partitions are bounded by scan-partition size — keep only each
-    // partition's top `size`, so the final per-query collect buffer holds
-    // ≤ #partitions × size ids (collect_list skips the nulled rest)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_idx"), col("_part")).orderBy(col("_doc_id"))
+    // segment/root top-k per query (collector.rs:383-437 shape): a bounded
+    // typed Aggregator keeps ≤2·size ids per (query, map task) as its
+    // PARTIAL buffer, so even a match-all sub-query shuffles only k-bounded
+    // buffers — never the matched rows themselves (a window/row_number rank
+    // would shuffle and sort every matched row first)
+    val minK = udaf(new graft.operators.MinKLongsAggregator(size), Encoders.scalaLong)
     val agg = tagged
-      .withColumn("_part", spark_partition_id())
-      .withColumn("_rn", row_number().over(w))
       .groupBy("query_idx")
       .agg(count(lit(1)).as("total"),
         array_join(transform(
-          slice(sort_array(collect_list(when(col("_rn") <= size, col("_doc_id")))), 1, size),
+          minK(col("_doc_id")),
           d => d.cast("string")), ",").as("top_doc_ids"))
     // ES answers EVERY sub-search, zero-hit ones included — left-join the
     // query index list so empty queries yield (idx, 0, "")
