@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Snippets, Tokenizers}
-import graft.operators.{Aggs, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
+import graft.operators.{Aggs, Dedup, Multimodal, Scoring, Similarity, SplitSketches, TextAnalysis}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
 import graft.publish.MergePolicy
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
@@ -386,6 +386,25 @@ object SparkEntry {
           (abs(col("_approx") - col("user_cardinality")) <=
             col("user_cardinality") * 0.05 + 1).as("within_bounds"))
         .orderBy("event_type")),
+
+    "a_cardinality_splits" -> ((s, d) => {
+      // split-mergeable metadata path: per-split HLL sketches unioned at
+      // query time (operators/SplitSketches.scala) — rows are hashed across
+      // splits so users genuinely span them; oracle checks the sketch's
+      // error contract against the exact count (a_percentiles_approx
+      // pattern: exact values + contract boolean)
+      val ev = t(s, d, "events")
+      val perSplit = SplitSketches.buildPerSplit(
+        ev, pmod(abs(hash(col("ts"))), lit(8)), col("user_id"))
+      val est = SplitSketches.mergedEstimate(perSplit)
+      val exact = ev.agg(count_distinct(col("user_id")).as("user_cardinality"),
+        count(lit(1)).as("n_rows"))
+      exact.crossJoin(broadcast(est.select(col("estimate"), col("n_rows").as("n2"))))
+        .select(col("n_rows"), col("user_cardinality"),
+          (col("n2") === col("n_rows")).as("rows_match"),
+          (abs(col("estimate") - col("user_cardinality")) <=
+            col("user_cardinality") * 0.05 + 1).as("within_bounds"))
+    }),
 
     "a_sub_agg" -> ((s, d) =>
       t(s, d, "events")
@@ -1079,6 +1098,12 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS user_cardinality,
         |  TRUE AS within_bounds
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_cardinality_splits" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS user_cardinality,
+        |  TRUE AS rows_match, TRUE AS within_bounds
+        |FROM events""".stripMargin,
 
     "a_sub_agg" ->
       """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
