@@ -406,6 +406,43 @@ object SparkEntry {
             col("user_cardinality") * 0.05 + 1).as("within_bounds"))
     }),
 
+    "a_percentiles_splits" -> ((s, d) => {
+      // percentiles from MERGED per-split KLL sketch bytes (SplitSketches) —
+      // the split-metadata read path; same rank-contract oracle as
+      // a_percentiles_approx (KLL compaction is randomized, so the value
+      // itself isn't mirrorable, its rank bound is)
+      val ev = t(s, d, "events")
+      val perSplit = SplitSketches.buildPerSplitQuantiles(
+        ev, pmod(abs(hash(col("ts"))), lit(8)), col("value"))
+      val a = SplitSketches.mergedQuantiles(perSplit, Seq(0.5, 0.95))
+      def rankOk(p: Double, idx: Int): Column = {
+        val le = sum(when(col("value") <= col(s"q$idx"), 1L).otherwise(0L))
+        val lt = sum(when(col("value") < col(s"q$idx"), 1L).otherwise(0L))
+        val target = lit(p) * max(col("n_rows"))
+        // published KLL k=200 rank error ~1.65%; merged sketches stack a
+        // compaction round — allow 5%
+        val err = max(col("n_rows")).cast("double") * 0.05 + 1.0
+        le >= target - err && lt <= target + err
+      }
+      ev.crossJoin(broadcast(a)).agg(
+        max(col("n_rows")).as("n"),
+        rankOk(0.5, 0).as("p50_ok"),
+        rankOk(0.95, 1).as("p95_ok"))
+    }),
+
+    "a_terms_splits" -> ((s, d) => {
+      // terms agg from merged per-split frequent-terms sketch states — the
+      // reference's leaf-partial → root-merge terms architecture
+      // (collector.rs:416-437). maxItems far exceeds event_type's distinct
+      // count, so no eviction happens and counts are EXACT ⇒ plain DuckDB
+      // top-k oracle
+      val ev = t(s, d, "events")
+      val perSplit = SplitSketches.buildPerSplitTopTerms(
+        ev, pmod(abs(hash(col("ts"))), lit(8)), col("event_type"))
+      SplitSketches.mergedTopTerms(perSplit, k = 5)
+        .orderBy(desc("doc_count"), asc("item"))
+    }),
+
     "a_sub_agg" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("month", col("ts")).as("month"), col("event_type"))
@@ -1104,6 +1141,13 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS user_cardinality,
         |  TRUE AS rows_match, TRUE AS within_bounds
         |FROM events""".stripMargin,
+
+    "a_percentiles_splits" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS p50_ok, TRUE AS p95_ok FROM events",
+
+    "a_terms_splits" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS doc_count
+        |FROM events GROUP BY 1 ORDER BY doc_count DESC, item ASC LIMIT 5""".stripMargin,
 
     "a_sub_agg" ->
       """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
