@@ -111,19 +111,29 @@ object IndexingPipeline {
   /** Split-level aggregates per routed partition — SplitMetadata analog
     * (A10–A12): num_docs, bytes, time range, capped tag set, exact
     * term_cardinality + postings_count (the merge-pipeline stats,
-    * packager.rs:230-273 + num_terms()). */
-  def splitAggregates(routed: DataFrame, cfg: Config): DataFrame = {
+    * packager.rs:230-273 + num_terms()). With `withSketches`, each split
+    * also carries an HLL sketch of its distinct terms (`term_hll`), making
+    * CROSS-split term cardinality answerable from merged metadata bytes
+    * (`SplitSketches.mergedEstimate`) — per-split exact counts don't merge
+    * (terms repeat across splits). Off by default: the benched plan is
+    * unchanged. */
+  def splitAggregates(routed: DataFrame, cfg: Config,
+                      withSketches: Boolean = false): DataFrame = {
     // two-level term aggregation instead of countDistinct: grouping on
     // (partition, term) first lets the map-side partial collapse duplicate
     // terms BEFORE the shuffle (volume = distinct terms, not all postings)
     // and avoids the Expand duplication countDistinct+count in one agg
     // would plan; cardinality = count of groups, postings = sum of counts
+    val termAggs =
+      Seq(count(lit(1)).as("term_cardinality"), sum(col("_tc")).as("postings_count")) ++
+        // second-level rows are one per DISTINCT (partition, term), so the
+        // sketch sees each term once — no postings inflation
+        (if (withSketches) Seq(hll_sketch_agg(col("term"), lit(12)).as("term_hll")) else Nil)
     val termStats = routed
       .select(col("partition_id"), explode(Tokenizers.default(col("text"))).as("term"))
       .groupBy("partition_id", "term").agg(count(lit(1)).as("_tc"))
       .groupBy("partition_id")
-      .agg(count(lit(1)).as("term_cardinality"),
-           sum(col("_tc")).as("postings_count"))
+      .agg(termAggs.head, termAggs.tail: _*)
     val docStats = routed.groupBy("partition_id")
       .agg(count(lit(1)).as("num_docs"),
            sum(octet_length(col("text")).cast("long")).as("uncompressed_docs_size_in_bytes"),

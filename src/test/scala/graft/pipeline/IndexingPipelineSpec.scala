@@ -135,6 +135,24 @@ class IndexingPipelineSpec extends SparkTestBase {
     assert(numDocs === routed.count())
   }
 
+  test("split aggregates with sketches: cross-split term cardinality from merged metadata") {
+    val turns = TranscriptGen.turns(numConvs = 25, avgTurns = 6)
+    val (tools, roles) = IndexingPipeline.dims(spark)
+    val cfg = IndexingPipeline.Config()
+    val (routed, _) = IndexingPipeline.parseEnrichRoute(df(turns), tools, roles, cfg)
+    // default: no sketch column — the benched plan is unchanged
+    assert(!IndexingPipeline.splitAggregates(routed, cfg).columns.contains("term_hll"))
+    val aggs = IndexingPipeline.splitAggregates(routed, cfg, withSketches = true)
+      .select(col("partition_id"), col("num_docs").as("n_rows"), col("term_hll").as("hll"))
+    // per-split EXACT cardinalities can't be combined (terms repeat across
+    // splits); the merged sketch answers the global question from metadata
+    val est = graft.operators.SplitSketches.mergedEstimate(aggs).head().getLong(1)
+    val exact = routed
+      .select(explode(graft.functions.Tokenizers.default(col("text"))).as("t"))
+      .agg(countDistinct("t")).head().getLong(0)
+    assert(math.abs(est - exact) <= exact * 0.05 + 1, s"est=$est exact=$exact")
+  }
+
   test("property: limb checksum equals BigInteger sum-of-hashes mod 2^64") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     // the overflow-free form (four LONG sums of 16-bit limbs, recombined
