@@ -469,6 +469,16 @@ object SparkEntry {
       Aggs.paginate(t(s, d, "events").select("event_id", "value"),
         Seq(col("event_id").asc), offset = 20, k = 10)),
 
+    "k_sort_missing_last" -> ((s, d) =>
+      // the reference's missing-value sort semantics (sort_orders golden
+      // scenario): docs missing the sort field go LAST in BOTH directions —
+      // asc is the case where Spark's bare orderBy would put them first
+      transcripts(s, d).select("conv_id", "turn_idx", "tool")
+        .orderBy(graft.queryast.EsSort.compile(
+          Seq(col("tool") -> true),
+          struct(col("conv_id"), col("turn_idx"))): _*)
+        .limit(20)),
+
     "k_search_after_full" -> ((s, d) =>
       // the reference's FULL cursor shape: (sort value, …, forced doc tie)
       // as an N-part lexicographic resume (collector.rs:316-341)
@@ -1176,6 +1186,11 @@ object SparkEntry {
 
     "k_offset" ->
       "SELECT event_id, value FROM events ORDER BY event_id LIMIT 10 OFFSET 20",
+
+    "k_sort_missing_last" -> (TranscriptsCte +
+      """SELECT conv_id, turn_idx, tool FROM transcripts
+        |ORDER BY tool ASC NULLS LAST, conv_id ASC, turn_idx ASC
+        |LIMIT 20""".stripMargin),
 
     "k_search_after_full" ->
       """SELECT event_id, event_type, value FROM events
