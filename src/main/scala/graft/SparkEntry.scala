@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Snippets, Tokenizers}
-import graft.operators.{Aggs, Dedup, Multimodal, Scoring, Similarity, SplitSketches, TextAnalysis}
+import graft.operators.{Aggs, Dedup, Jaeger, Multimodal, Scoring, Similarity, SplitSketches, TextAnalysis}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
 import graft.publish.MergePolicy
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
@@ -69,6 +69,52 @@ object SparkEntry {
       |         ts
       |  FROM events)
       |""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // spans: the OTLP trace doc shape (quickwit-opentelemetry traces.rs:
+  // 180-260) derived DETERMINISTICALLY from `events` — trace = conversation,
+  // one span per event — so the DuckDB oracle mirrors the derivation 1:1.
+  // Feeds the Jaeger SpanReader queries (operators/Jaeger.scala).
+  // ---------------------------------------------------------------------
+  def spans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      concat(lit("conv"), col("user_id").cast("string")).as("trace_id"),
+      col("event_id").as("span_id"),
+      concat(lit("svc_"), col("event_type")).as("service_name"),
+      concat(lit("op"), pmod(col("event_id"), lit(4)).cast("string")).as("span_name"),
+      (pmod(col("event_id"), lit(3)) + 1).cast("int").as("span_kind"),
+      col("ts"),
+      (pmod(col("event_id") * 7, lit(1000)) + 1).as("duration_millis"),
+      when(pmod(col("event_id"), lit(7)) === 0, "error").otherwise("ok")
+        .as("status_code"),
+      map(lit("env"),
+        when(pmod(col("user_id"), lit(2)) === 0, "prod").otherwise("staging"))
+        .as("resource_attributes"),
+      map(lit("k"), pmod(col("event_id"), lit(100)).cast("string"))
+        .as("span_attributes"))
+
+  /** SQL mirror of `spans` for the DuckDB oracle (maps flattened to one
+    * column per attribute key — the oracle filters on the same values). */
+  val SpansCte: String =
+    """WITH spans AS (
+      |  SELECT 'conv' || CAST(user_id AS VARCHAR) AS trace_id,
+      |         event_id AS span_id,
+      |         'svc_' || event_type AS service_name,
+      |         'op' || CAST(event_id % 4 AS VARCHAR) AS span_name,
+      |         CAST(event_id % 3 + 1 AS INT) AS span_kind,
+      |         ts,
+      |         (event_id * 7) % 1000 + 1 AS duration_millis,
+      |         CASE WHEN event_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status_code,
+      |         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'staging' END AS env_attr,
+      |         CAST(event_id % 100 AS VARCHAR) AS k_attr
+      |  FROM events)
+      |""".stripMargin
+
+  /** Fixed "now" for the Jaeger lookback windows: 2024-01-31T00:00Z (just
+    * past the events table's ts range) — deterministic, unlike the
+    * reference's `OffsetDateTime::now_utc()` (jaeger lib.rs:103-104). */
+  private val JaegerNowSecs = 1706659200L
+  private val JaegerLookbackSecs = 15L * 86400 // window starts 2024-01-16T00:00Z
 
   /** tool → sink routing dimension (broadcast enrichment). */
   private def sinkDim(s: SparkSession): DataFrame = {
@@ -963,7 +1009,37 @@ object SparkEntry {
            inv.sourcesDisjoint, inv.leftoverOk))
         .toDF("candidate_splits", "candidate_docs", "sizes_in_bounds",
               "all_immature", "same_level", "sources_disjoint", "leftover_ok")
-    })
+    }),
+
+    // ---- Jaeger SpanReader surface (quickwit-jaeger/src/lib.rs:95-246) --
+    "jg_services" -> ((s, d) =>
+      Jaeger.getServices(spans(s, d), JaegerNowSecs, JaegerLookbackSecs)),
+
+    "jg_operations" -> ((s, d) =>
+      Jaeger.getOperations(spans(s, d), "svc_click", spanKind = None,
+        JaegerNowSecs, JaegerLookbackSecs)),
+
+    "jg_find_trace_ids" -> ((s, d) =>
+      Jaeger.findTraceIds(spans(s, d), Jaeger.TraceQuery(
+        serviceName = "svc_error",
+        tags = Map("error" -> "true", "env" -> "prod"),
+        minStartSecs = Some(1704844800L), // 2024-01-10T00:00Z
+        maxStartSecs = Some(1706313600L), // 2024-01-27T00:00Z
+        minDurationMillis = Some(100L), maxDurationMillis = Some(900L),
+        numTraces = 10))),
+
+    "jg_find_traces" -> ((s, d) =>
+      Jaeger.findTraces(spans(s, d), Jaeger.TraceQuery(
+        serviceName = "svc_error",
+        tags = Map("error" -> "true", "env" -> "prod"),
+        minStartSecs = Some(1704844800L),
+        maxStartSecs = Some(1706313600L),
+        minDurationMillis = Some(100L), maxDurationMillis = Some(900L),
+        numTraces = 10), maxTraceDurationSecs = 3600L)),
+
+    "jg_get_trace" -> ((s, d) =>
+      Jaeger.getTrace(spans(s, d), "conv7", JaegerNowSecs,
+        lookbackSecs = 30L * 86400))
   )
 
   // =======================================================================
@@ -1665,7 +1741,58 @@ object SparkEntry {
         |       WHEN 'DOUBLE' THEN 'double' WHEN 'INTEGER' THEN 'int'
         |       WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'FLOAT[]' THEN 'array<float>'
         |       ELSE lower(column_type) END AS spark_type
-        |FROM cols ORDER BY table_name, field""".stripMargin
+        |FROM cols ORDER BY table_name, field""".stripMargin,
+
+    // ---- Jaeger SpanReader -----------------------------------------------
+    "jg_services" -> (SpansCte +
+      """SELECT DISTINCT service_name AS service FROM spans
+        |WHERE ts >= TIMESTAMP '2024-01-16'
+        |ORDER BY service LIMIT 1000""".stripMargin),
+
+    "jg_operations" -> (SpansCte +
+      """SELECT DISTINCT span_name AS name,
+        |  CASE span_kind WHEN 1 THEN 'internal' WHEN 2 THEN 'server'
+        |       WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+        |       WHEN 5 THEN 'consumer' ELSE 'unspecified' END AS span_kind
+        |FROM spans
+        |WHERE service_name = 'svc_click' AND ts >= TIMESTAMP '2024-01-16'
+        |ORDER BY name, span_kind LIMIT 1000""".stripMargin),
+
+    "jg_find_trace_ids" -> (SpansCte +
+      """SELECT trace_id, max(ts) AS span_ts FROM spans
+        |WHERE service_name = 'svc_error' AND status_code = 'error'
+        |  AND env_attr = 'prod'
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-27'
+        |  AND duration_millis BETWEEN 100 AND 900
+        |GROUP BY trace_id
+        |ORDER BY span_ts DESC, trace_id ASC LIMIT 10""".stripMargin),
+
+    "jg_find_traces" -> (SpansCte +
+      """,ids AS (
+        |  SELECT trace_id, max(ts) AS span_ts FROM spans
+        |  WHERE service_name = 'svc_error' AND status_code = 'error'
+        |    AND env_attr = 'prod'
+        |    AND ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-27'
+        |    AND duration_millis BETWEEN 100 AND 900
+        |  GROUP BY trace_id
+        |  ORDER BY span_ts DESC, trace_id ASC LIMIT 10),
+        |b AS (
+        |  SELECT date_trunc('second', min(span_ts)) - INTERVAL 1 HOUR AS lo,
+        |         date_trunc('second', max(span_ts)) + INTERVAL 1 HOUR AS hi
+        |  FROM ids)
+        |SELECT s.trace_id, s.span_id, s.service_name, s.span_name,
+        |       s.span_kind, s.ts, s.duration_millis, s.status_code
+        |FROM spans s, ids, b
+        |WHERE s.trace_id = ids.trace_id AND s.ts >= b.lo AND s.ts <= b.hi
+        |ORDER BY s.trace_id, s.ts, s.span_id LIMIT 10000""".stripMargin),
+
+    "jg_get_trace" -> (SpansCte +
+      """SELECT trace_id, span_id, service_name, span_name, span_kind, ts,
+        |       duration_millis, status_code
+        |FROM spans
+        |WHERE trace_id = 'conv7'
+        |  AND ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-31'
+        |ORDER BY ts, span_id LIMIT 10000""".stripMargin)
   )
 
   /** Exact cosine top-3 per query vector — the shared oracle for all three
