@@ -1011,6 +1011,30 @@ object SparkEntry {
               "all_immature", "same_level", "sources_disjoint", "leftover_ok")
     }),
 
+    // ---- ES _bulk NDJSON ingest (elasticsearch_api/bulk.rs:79-143) ------
+    // One bulk body per conversation (action+source line pairs in turn
+    // order); turn_idx%9=0 plants a malformed action line, %4=0 a
+    // default-index create. Output = per-index batch sizes + error tally.
+    "es_bulk" -> ((s, d) => {
+      val tr = transcripts(s, d).filter(col("text").isNotNull)
+      val actionJson = when(pmod(col("turn_idx"), lit(9)) === 0, lit("{ \"bad"))
+        .when(pmod(col("turn_idx"), lit(4)) === 0,
+          lit("""{ "create" : { "_id" : "anon" } }"""))
+        .otherwise(concat(lit("{ \"index\" : { \"_index\" : \"idx_"), col("role"),
+          lit("\", \"_id\" : \""), col("conv_id"), lit("-"),
+          col("turn_idx").cast("string"), lit("\" } }")))
+      val srcJson = concat(lit("{\"text\": \""), col("text"), lit("\"}"))
+      val bodies = tr.groupBy(col("conv_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"),
+            concat_ws("\n", actionJson, srcJson).as("l")))),
+          x => x.getField("l")), "\n").as("body"))
+      graft.queryast.EsApi.bulkCounts(
+        graft.queryast.EsApi.bulkParse(bodies, col("body"),
+          Some("transcripts-default")))
+        .orderBy("index_id")
+    }),
+
     // ---- Jaeger SpanReader surface (quickwit-jaeger/src/lib.rs:95-246) --
     "jg_services" -> ((s, d) =>
       Jaeger.getServices(spans(s, d), JaegerNowSecs, JaegerLookbackSecs)),
@@ -1742,6 +1766,15 @@ object SparkEntry {
         |       WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'FLOAT[]' THEN 'array<float>'
         |       ELSE lower(column_type) END AS spark_type
         |FROM cols ORDER BY table_name, field""".stripMargin,
+
+    // ---- ES _bulk --------------------------------------------------------
+    "es_bulk" -> (TranscriptsCte +
+      """SELECT CASE WHEN turn_idx % 9 = 0 THEN '(error)'
+        |            WHEN turn_idx % 4 = 0 THEN 'transcripts-default'
+        |            ELSE 'idx_' || role END AS index_id,
+        |       count(*) AS num_docs
+        |FROM transcripts WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY index_id""".stripMargin),
 
     // ---- Jaeger SpanReader -----------------------------------------------
     "jg_services" -> (SpansCte +

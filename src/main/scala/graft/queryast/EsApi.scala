@@ -95,6 +95,71 @@ object EsApi {
     s"""{"indices":["$index"],"fields":{$fields}}"""
   }
 
+  // ---- _bulk ---------------------------------------------------------------
+  /** es_compat_bulk_handler (elasticsearch_api/bulk.rs:79-143): NDJSON bodies
+    * → one row per (action, source) pair, batched per index.
+    *
+    * Reference semantics mirrored exactly:
+    *  - blank/whitespace lines are skipped BEFORE pairing and line numbering
+    *    (`lines()`, ingest_api/rest_handler.rs:260-268; line numbers in
+    *    errors are positions in the filtered sequence, bulk.rs:94-96);
+    *  - the action line must deserialize to the `index` or `create` variant
+    *    (model/bulk_body.rs:25-29) — valid JSON with any other key (e.g.
+    *    `delete`) is as malformed as broken JSON (serde unknown-variant);
+    *  - `_index` on the action wins over the per-request default index; a
+    *    missing index on both sides is an error (bulk.rs:106-119: the
+    *    path-index is a default, not a constraint);
+    *  - a trailing action with no source line errors (bulk.rs:100-105).
+    *
+    * Plan shape: pure per-row array/JSON expressions (split → blank-filter →
+    * positional pair explode → `from_json`) — NO shuffle and no UDF; a
+    * 100 TB backlog of bulk bodies parses embarrassingly parallel, and the
+    * per-index batching (`bulkCounts`) shuffles only (index_id) keys. */
+  def bulkParse(df: DataFrame, body: Column, defaultIndex: Option[String]): DataFrame = {
+    val metaSchema = StructType(Seq(
+      StructField("_index", StringType), StructField("_id", StringType)))
+    val actionSchema = StructType(Seq(
+      StructField("index", metaSchema), StructField("create", metaSchema)))
+    val lines = filter(split(body, "\n"), l => trim(l) =!= "")
+    df.withColumn("_lines", lines)
+      .withColumn("_pi",
+        explode(when(size(col("_lines")) > 0,
+          sequence(lit(0), floor((size(col("_lines")) - 1) / 2).cast("int")))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("line_no", (col("_pi") * 2).cast("int"))
+      .withColumn("_action_line", try_element_at(col("_lines"), col("_pi") * 2 + 1))
+      .withColumn("_source", try_element_at(col("_lines"), col("_pi") * 2 + 2))
+      .withColumn("_parsed", from_json(col("_action_line"), actionSchema))
+      .withColumn("action",
+        when(col("_parsed.index").isNotNull, "index")
+          .when(col("_parsed.create").isNotNull, "create"))
+      .withColumn("_meta", coalesce(col("_parsed.index"), col("_parsed.create")))
+      .withColumn("_index_id",
+        coalesce(col("_meta._index"), lit(defaultIndex.orNull).cast("string")))
+      .withColumn("error",
+        when(col("action").isNull,
+          concat(lit("Malformed action/metadata line [#"), col("line_no"), lit("].")))
+          .when(col("_source").isNull, lit("expected source for the action"))
+          .when(col("_index_id").isNull,
+            concat(lit("missing required field: `_index` in the line [#"),
+              col("line_no"), lit("]."))))
+      .select(col("line_no"),
+        when(col("error").isNull, col("action")).as("action"),
+        when(col("error").isNull, col("_index_id")).as("index_id"),
+        when(col("error").isNull, col("_meta._id")).as("doc_id"),
+        when(col("error").isNull, col("_source")).as("source"),
+        col("error"))
+  }
+
+  /** Per-index doc batches from parsed bulk rows (DocBatchBuilder-per-index,
+    * bulk.rs:120-127) + an error tally: (index_id, num_docs); failed pairs
+    * land on the "(error)" key (the reference 400s the whole request on the
+    * first error — the count makes that error set oracle-checkable). */
+  def bulkCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(coalesce(col("index_id"), lit("(error)")).as("index_id"))
+      .agg(count(lit(1)).as("num_docs"))
+
   // ---- _cat/indices --------------------------------------------------------
   /** es_compat_cat_indices: one row per index with doc count + stored-bytes
     * (from split metadata at the warehouse — here an aggregate per table). */
