@@ -745,6 +745,15 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    "f_bool_prefix" -> ((s, d) => {
+      // via the ES DSL to cover the match_bool_prefix mapping end-to-end
+      t(s, d, "documents")
+        .filter(EsDsl.parse(
+          """{"match_bool_prefix": {"text": {"query": "spark data jo", "operator": "and"}}}""")
+          .toColumn(docResolver))
+        .select("doc_id")
+    }),
+
     // ---- ES serve-layer endpoints (thin shells over existing compute) ----
     "es_count" -> ((s, d) => {
       import s.implicits._
@@ -1380,6 +1389,16 @@ object SparkEntry {
         |WHERE regexp_matches(
         |  ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ',
         |  ' spark jo[a-z0-9]*')""".stripMargin,
+
+    "f_bool_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok,
+        |    ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS stream
+        |  FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE list_contains(tok, 'spark') AND list_contains(tok, 'data')
+        |  AND regexp_matches(stream, ' jo[a-z0-9]*')""".stripMargin,
 
     "t_whitespace" ->
       """SELECT doc_id, token FROM (

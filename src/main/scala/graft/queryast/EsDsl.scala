@@ -51,6 +51,16 @@ object EsDsl {
           }
           FullText(f, q, ModePhrase(slop)) }
       case "match_bool_prefix" =>
+        // match_bool_prefix.rs:38-53 → FullTextMode::BoolPrefix — OR/AND of
+        // term queries with only the LAST term as a prefix (NOT a phrase)
+        fieldParam(body) { case (f, p) =>
+          val (q, op) = p match {
+            case o: Obj @unchecked => (str(o("query")), o.getOrElse("operator", "or"))
+            case s => (str(s), "or")
+          }
+          BoolPrefix(f, q, andOperator = op == "and") }
+      case "match_phrase_prefix" =>
+        // phrase_prefix_query.rs:31-44 → query_ast::PhrasePrefixQuery
         fieldParam(body) { case (f, p) => PhrasePrefix(f, str(value(p, "query"))) }
       case "multi_match" =>
         val o = body.asInstanceOf[Obj]

@@ -102,6 +102,26 @@ object QueryAst {
     }
   }
 
+  /** FullTextMode::BoolPrefix (full_text_query.rs:134-150, the ES
+    * `match_bool_prefix` mapping, match_bool_prefix.rs:38-53): every token
+    * becomes an independent term query combined by the operator, EXCEPT the
+    * last, which matches as a single-term prefix — unlike PhrasePrefix, no
+    * ordering/adjacency between terms is required. */
+  final case class BoolPrefix(field: String, text: String,
+                              andOperator: Boolean = false) extends QueryAst {
+    def toColumn(r: FieldResolver): Column = {
+      val terms = tokenizeQuery(text)
+      if (terms.isEmpty) lit(true)
+      else {
+        val clauses =
+          terms.init.map(t => array_contains(Tokenizers.default(col(field)), t)) :+
+            regexp_like(normalizedStream(col(field)),
+              lit(" " + terms.last + "[\\p{L}\\p{N}]*"))
+        if (andOperator) clauses.reduce(_ && _) else clauses.reduce(_ || _)
+      }
+    }
+  }
+
   /** phrase_prefix_query.rs: phrase whose last term is a prefix. */
   final case class PhrasePrefix(field: String, text: String) extends QueryAst {
     def toColumn(r: FieldResolver): Column = {

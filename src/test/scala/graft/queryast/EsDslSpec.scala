@@ -46,6 +46,12 @@ class EsDslSpec extends AnyFunSuite {
     assert(p("""{"match_phrase": {"text": {"query": "quick fox", "slop": 2}}}""") ===
       FullText("text", "quick fox", ModePhrase(2)))
     assert(p("""{"match_bool_prefix": {"text": {"query": "quick bro"}}}""") ===
+      BoolPrefix("text", "quick bro", andOperator = false))
+    assert(p("""{"match_bool_prefix": {"text": {"query": "quick bro", "operator": "and"}}}""") ===
+      BoolPrefix("text", "quick bro", andOperator = true))
+    assert(p("""{"match_bool_prefix": {"text": "quick bro"}}""") ===
+      BoolPrefix("text", "quick bro", andOperator = false))
+    assert(p("""{"match_phrase_prefix": {"text": {"query": "quick bro"}}}""") ===
       PhrasePrefix("text", "quick bro"))
   }
 

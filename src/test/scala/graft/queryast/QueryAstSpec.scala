@@ -68,6 +68,18 @@ class QueryAstSpec extends SparkTestBase {
     assert(ids(PhrasePrefix("text", "schnelle brau")) === Set(3L))
   }
 
+  test("BoolPrefix: unordered terms, only the LAST is a prefix") {
+    // "quick bro": AND → docs with token 'quick' AND a 'bro'-prefixed token
+    // — unlike PhrasePrefix, order/adjacency is irrelevant, so doc5
+    // ("... quick and brown") matches too
+    assert(ids(BoolPrefix("text", "quick bro", andOperator = true)) === Set(1L, 5L))
+    // OR (the ES default operator): any term match suffices
+    assert(ids(BoolPrefix("text", "quick bro", andOperator = false)) ===
+      Set(1L, 2L, 4L, 5L))
+    // single term = pure prefix query
+    assert(ids(BoolPrefix("text", "schnell")) === Set(3L))
+  }
+
   test("Wildcard on text and non-text fields") {
     assert(ids(Wildcard("text", "jum*")) === Set(1L))
     assert(ids(Wildcard("text", "f?x")) === Set(1L, 4L, 5L))
