@@ -175,6 +175,14 @@ object SparkEntry {
        col("turn_idx").as("orig_turn")), mapping)
   }
 
+  private def mappingTreeSelect(parsed: DataFrame): DataFrame =
+    parsed.select(col("orig_conv"), col("orig_turn"),
+      col("conv_id"), col("turn"),
+      col("`meta.role`").as("role"), col("`meta.score`").as("score"),
+      array_join(transform(col("`meta.tags`"), t => t.cast("string")), ",").as("tags_csv"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("parse_error_field"), col("parse_error_kind"), col("dynamic_json"))
+
   private def parsedTranscripts(s: SparkSession, dir: String): DataFrame =
     DocParser.withParsedColumns(transcripts(s, dir).filter(col("text").isNotNull))
 
@@ -811,13 +819,25 @@ object SparkEntry {
     // decisions the variant compiler makes.
     "p_mapping_tree" -> ((s, d) => {
       val (docs, mapping) = mappingTreeInput(s, d)
-      graft.parse.MappingTree.parse(docs, col("doc"), mapping)
-        .select(col("orig_conv"), col("orig_turn"),
-          col("conv_id"), col("turn"),
-          col("`meta.role`").as("role"), col("`meta.score`").as("score"),
-          array_join(transform(col("`meta.tags`"), t => t.cast("string")), ",").as("tags_csv"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("parse_error_field"), col("parse_error_kind"), col("dynamic_json"))
+      mappingTreeSelect(graft.parse.MappingTree.parse(docs, col("doc"), mapping))
+    }),
+
+    // Same parse, but the mapping is compiled from the reference's
+    // index-config `doc_mapping` JSON format (MappingConfig.fromJson) —
+    // proving a user's existing config drives this mapper unchanged.
+    "p_mapping_config" -> ((s, d) => {
+      val (docs, _) = mappingTreeInput(s, d)
+      val cfg =
+        """{"mode": "dynamic", "field_mappings": [
+          |  {"name": "conv_id", "type": "text"},
+          |  {"name": "turn", "type": "i64"},
+          |  {"name": "meta", "type": "object", "field_mappings": [
+          |    {"name": "role", "type": "text"},
+          |    {"name": "score", "type": "i64"},
+          |    {"name": "tags", "type": "array<i64>"}]},
+          |  {"name": "ts", "type": "datetime", "input_formats": ["unix_timestamp"]}]}""".stripMargin
+      mappingTreeSelect(graft.parse.MappingTree.parse(docs, col("doc"),
+        graft.parse.MappingConfig.fromJson(cfg)))
     }),
 
     // parse → docToJson round-trip (populate_json, P6 nested depth): the
@@ -1076,6 +1096,50 @@ object SparkEntry {
   )
 
   // =======================================================================
+  /** Shared oracle for the hand-built (`p_mapping_tree`) and the
+    * config-compiled (`p_mapping_config`) doc-mapper paths — identical
+    * semantics by construction. */
+  private val MappingTreeOracleSql: String = TranscriptsCte +
+      """, docs AS (
+        |  SELECT conv_id AS orig_conv, turn_idx AS orig_turn,
+        |    CASE WHEN turn_idx % 17 = 0 AND turn_idx > 0 THEN 'oops'
+        |         ELSE '{"conv_id":"' || conv_id || '","turn":' || CAST(turn_idx AS VARCHAR) ||
+        |              ',"meta":{"role":"' || role || '","score":' ||
+        |              CASE WHEN turn_idx % 5 = 0 THEN '"' || CAST(turn_idx % 100 AS VARCHAR) || '"'
+        |                   WHEN turn_idx % 7 = 0 THEN CAST(turn_idx % 100 AS VARCHAR) || '.5'
+        |                   ELSE CAST(turn_idx % 100 AS VARCHAR) END ||
+        |              ',"tags":' ||
+        |              CASE WHEN turn_idx % 13 = 0 THEN CAST(turn_idx % 100 AS VARCHAR)
+        |                   ELSE '[' || CAST(turn_idx % 100 AS VARCHAR) || ',' || CAST(turn_idx % 100 + 1 AS VARCHAR) || ']' END ||
+        |              '}' ||
+        |              CASE WHEN turn_idx % 11 = 0 THEN ',"extra_field":' || CAST(turn_idx % 100 AS VARCHAR) ELSE '' END ||
+        |              ',"ts":' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '}'
+        |    END AS doc
+        |  FROM transcripts),
+        |parsed AS (SELECT *, json_valid(doc) AS ok FROM docs)
+        |SELECT orig_conv, orig_turn,
+        |  CASE WHEN ok THEN json_extract_string(doc, '$.conv_id') END AS conv_id,
+        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.turn') AS BIGINT) END AS turn,
+        |  CASE WHEN ok THEN json_extract_string(doc, '$.meta.role') END AS role,
+        |  CASE WHEN NOT ok THEN NULL
+        |       WHEN json_type(doc, '$.meta.score') IN ('BIGINT', 'UBIGINT')
+        |         THEN CAST(json_extract(doc, '$.meta.score') AS BIGINT)
+        |       WHEN json_type(doc, '$.meta.score') = 'VARCHAR'
+        |         THEN TRY_CAST(json_extract_string(doc, '$.meta.score') AS BIGINT)
+        |       ELSE NULL END AS score,
+        |  CASE WHEN NOT ok THEN NULL
+        |       WHEN json_type(doc, '$.meta.tags') = 'ARRAY'
+        |         THEN array_to_string(CAST(json_extract(doc, '$.meta.tags') AS BIGINT[]), ',')
+        |       ELSE CAST(CAST(json_extract(doc, '$.meta.tags') AS BIGINT) AS VARCHAR) END AS tags_csv,
+        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.ts') AS BIGINT) * 1000000 END AS ts_us,
+        |  CASE WHEN NOT ok THEN ''
+        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'meta.score' END AS parse_error_field,
+        |  CASE WHEN NOT ok THEN 'json_parse_error'
+        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'value_error' END AS parse_error_kind,
+        |  CASE WHEN ok AND orig_turn % 11 = 0
+        |       THEN '{"extra_field":' || CAST(orig_turn % 100 AS VARCHAR) || '}' END AS dynamic_json
+        |FROM parsed""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
@@ -1429,46 +1493,9 @@ object SparkEntry {
     // re-derives every typed column through DuckDB's json_type/json_extract
     // — the same JSON-kind dispatch (string vs integer vs double) that
     // drives coerce/value_error decisions in the variant compiler.
-    "p_mapping_tree" -> (TranscriptsCte +
-      """, docs AS (
-        |  SELECT conv_id AS orig_conv, turn_idx AS orig_turn,
-        |    CASE WHEN turn_idx % 17 = 0 AND turn_idx > 0 THEN 'oops'
-        |         ELSE '{"conv_id":"' || conv_id || '","turn":' || CAST(turn_idx AS VARCHAR) ||
-        |              ',"meta":{"role":"' || role || '","score":' ||
-        |              CASE WHEN turn_idx % 5 = 0 THEN '"' || CAST(turn_idx % 100 AS VARCHAR) || '"'
-        |                   WHEN turn_idx % 7 = 0 THEN CAST(turn_idx % 100 AS VARCHAR) || '.5'
-        |                   ELSE CAST(turn_idx % 100 AS VARCHAR) END ||
-        |              ',"tags":' ||
-        |              CASE WHEN turn_idx % 13 = 0 THEN CAST(turn_idx % 100 AS VARCHAR)
-        |                   ELSE '[' || CAST(turn_idx % 100 AS VARCHAR) || ',' || CAST(turn_idx % 100 + 1 AS VARCHAR) || ']' END ||
-        |              '}' ||
-        |              CASE WHEN turn_idx % 11 = 0 THEN ',"extra_field":' || CAST(turn_idx % 100 AS VARCHAR) ELSE '' END ||
-        |              ',"ts":' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '}'
-        |    END AS doc
-        |  FROM transcripts),
-        |parsed AS (SELECT *, json_valid(doc) AS ok FROM docs)
-        |SELECT orig_conv, orig_turn,
-        |  CASE WHEN ok THEN json_extract_string(doc, '$.conv_id') END AS conv_id,
-        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.turn') AS BIGINT) END AS turn,
-        |  CASE WHEN ok THEN json_extract_string(doc, '$.meta.role') END AS role,
-        |  CASE WHEN NOT ok THEN NULL
-        |       WHEN json_type(doc, '$.meta.score') IN ('BIGINT', 'UBIGINT')
-        |         THEN CAST(json_extract(doc, '$.meta.score') AS BIGINT)
-        |       WHEN json_type(doc, '$.meta.score') = 'VARCHAR'
-        |         THEN TRY_CAST(json_extract_string(doc, '$.meta.score') AS BIGINT)
-        |       ELSE NULL END AS score,
-        |  CASE WHEN NOT ok THEN NULL
-        |       WHEN json_type(doc, '$.meta.tags') = 'ARRAY'
-        |         THEN array_to_string(CAST(json_extract(doc, '$.meta.tags') AS BIGINT[]), ',')
-        |       ELSE CAST(CAST(json_extract(doc, '$.meta.tags') AS BIGINT) AS VARCHAR) END AS tags_csv,
-        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.ts') AS BIGINT) * 1000000 END AS ts_us,
-        |  CASE WHEN NOT ok THEN ''
-        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'meta.score' END AS parse_error_field,
-        |  CASE WHEN NOT ok THEN 'json_parse_error'
-        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'value_error' END AS parse_error_kind,
-        |  CASE WHEN ok AND orig_turn % 11 = 0
-        |       THEN '{"extra_field":' || CAST(orig_turn % 100 AS VARCHAR) || '}' END AS dynamic_json
-        |FROM parsed""".stripMargin),
+    "p_mapping_tree" -> MappingTreeOracleSql,
+
+    "p_mapping_config" -> MappingTreeOracleSql,
 
     "es_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS count FROM documents
