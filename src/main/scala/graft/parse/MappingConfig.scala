@@ -108,5 +108,51 @@ object MappingConfig {
       "`-`, periods `.`, and underscores `_`")
   }
 
+  // ---- custom tokenizer entries (doc_mapping.tokenizers) -----------------
+  /** Parse the `tokenizers` array of a doc_mapping config into registry
+    * entries — the flat serde format of tokenizer_entry.rs:29-149 (`name` +
+    * internally-tagged `type` + type-specific options + `filters`), with
+    * `deny_unknown_fields` on the per-type options. */
+  def tokenizersFromJson(json: String): Seq[graft.functions.TokenizerRegistry.TokenizerEntry] = {
+    import graft.functions.TokenizerRegistry._
+    val root = Json.parse(json).asInstanceOf[Map[String, Any]]
+    root.getOrElse("tokenizers", Seq.empty).asInstanceOf[Seq[Any]].map { e =>
+      val o = e.asInstanceOf[Map[String, Any]]
+      val name = o("name").asInstanceOf[String]
+      val known = Set("name", "type", "filters")
+      def denyUnknown(allowed: Set[String]): Unit =
+        o.keys.find(k => !known(k) && !allowed(k)).foreach(k =>
+          fail(s"unknown field `$k`"))
+      val typ = o.getOrElse("type", fail(s"missing field `type`")) match {
+        case "simple"      => denyUnknown(Set.empty); Simple
+        case "source_code" => denyUnknown(Set.empty); SourceCode
+        case "multilang"   => denyUnknown(Set.empty); Multilang
+        case "ngram" =>
+          denyUnknown(Set("min_gram", "max_gram", "prefix_only"))
+          Ngram(o("min_gram").asInstanceOf[Double].toInt,
+            o("max_gram").asInstanceOf[Double].toInt,
+            o.getOrElse("prefix_only", false).asInstanceOf[Boolean])
+        case "regex" =>
+          denyUnknown(Set("pattern"))
+          Regex(o("pattern").asInstanceOf[String])
+        case other => fail(s"unknown variant `$other`, expected one of " +
+          "`ngram`, `regex`, `simple`, `source_code`, `multilang`")
+      }
+      val filters = o.getOrElse("filters", Seq.empty).asInstanceOf[Seq[Any]].map {
+        case "remove_long"   => RemoveLong
+        case "lower_caser"   => LowerCaser
+        case "ascii_folding" => AsciiFolding
+        case other => fail(s"unknown variant `$other`, expected one of " +
+          "`remove_long`, `lower_caser`, `ascii_folding`")
+      }
+      TokenizerEntry(name, TokenizerConfig(typ, filters))
+    }
+  }
+
+  /** Full registry from a doc_mapping config: built-ins + its custom
+    * `tokenizers` entries. */
+  def registryFromJson(json: String): graft.functions.TokenizerRegistry.Registry =
+    new graft.functions.TokenizerRegistry.Registry(tokenizersFromJson(json))
+
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 }

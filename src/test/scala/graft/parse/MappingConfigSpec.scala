@@ -82,6 +82,33 @@ class MappingConfigSpec extends AnyFunSuite {
       .fieldMappings == Seq(Leaf("b", TBytes, multi = true)))
   }
 
+  test("tokenizers section: the reference's own serde cases (tokenizer_entry.rs:153-240)") {
+    import graft.functions.TokenizerRegistry._
+    val entries = MappingConfig.tokenizersFromJson(
+      """{"tokenizers": [
+        |  {"name": "my_tokenizer", "type": "ngram", "min_gram": 1, "max_gram": 3,
+        |   "filters": ["remove_long", "lower_caser", "ascii_folding"]},
+        |  {"name": "my_regex", "type": "regex", "pattern": "(my_pattern)"}]}""".stripMargin)
+    assert(entries == Seq(
+      TokenizerEntry("my_tokenizer", TokenizerConfig(Ngram(1, 3, prefixOnly = false),
+        Seq(RemoveLong, LowerCaser, AsciiFolding))),
+      TokenizerEntry("my_regex", TokenizerConfig(Regex("(my_pattern)")))))
+    // deny_unknown_fields on the options (tokenizer_entry.rs:194-217)
+    val e = intercept[IllegalArgumentException](MappingConfig.tokenizersFromJson(
+      """{"tokenizers": [{"name": "t", "type": "ngram", "min_gram": 1,
+        |"max_gram": 3, "abc": 123}]}""".stripMargin))
+    assert(e.getMessage.contains("unknown field `abc`"))
+    // unknown filter / type variants
+    assert(intercept[IllegalArgumentException](MappingConfig.tokenizersFromJson(
+      """{"tokenizers": [{"name": "t", "type": "simple", "filters": ["nope"]}]}"""))
+      .getMessage.contains("unknown variant `nope`"))
+    assert(intercept[IllegalArgumentException](MappingConfig.tokenizersFromJson(
+      """{"tokenizers": [{"name": "t", "type": "fancy"}]}"""))
+      .getMessage.contains("unknown variant `fancy`"))
+    // missing tokenizers key → empty, registry still resolves built-ins
+    assert(MappingConfig.tokenizersFromJson("{}").isEmpty)
+  }
+
   test("config-compiled mapping is structurally identical to the hand-built one") {
     val cfg = MappingConfig.fromJson(
       """{"mode": "dynamic", "field_mappings": [
