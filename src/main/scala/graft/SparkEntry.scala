@@ -840,6 +840,40 @@ object SparkEntry {
         graft.parse.MappingConfig.fromJson(cfg)))
     }),
 
+    // Full index-config loop: ONE config JSON drives parse (mapping tree),
+    // timestamp validation, tag-field promotion (partition-key fields join
+    // the tag set, default_mapper.rs:243-248) and partition routing
+    // (hash_mod ≤ cap ⇒ provably capped, no rank scan). Typed fields are
+    // DuckDB-mirrored; the routing invariant (id ∈ [0,8)) and the promoted
+    // tag set ride along as oracle-checkable columns.
+    "pipe_config_e2e" -> ((s, d) => {
+      val (docs, _) = mappingTreeInput(s, d)
+      val cfg =
+        """{"mode": "dynamic",
+          |  "timestamp_field": "ts",
+          |  "tag_fields": ["meta.role"],
+          |  "partition_key": "hash_mod(conv_id, 8)",
+          |  "max_num_partitions": 8,
+          |  "field_mappings": [
+          |    {"name": "conv_id", "type": "text", "tokenizer": "raw"},
+          |    {"name": "turn", "type": "i64"},
+          |    {"name": "meta", "type": "object", "field_mappings": [
+          |      {"name": "role", "type": "text", "tokenizer": "raw"},
+          |      {"name": "score", "type": "i64"},
+          |      {"name": "tags", "type": "array<i64>"}]},
+          |    {"name": "ts", "type": "datetime", "fast": true,
+          |     "input_formats": ["unix_timestamp"]}]}""".stripMargin
+      val idx = graft.parse.MappingConfig.compileIndex(cfg)
+      val routed = graft.parse.MappingConfig.applyIndexConfig(docs, col("doc"), idx)
+      routed.select(col("orig_conv"), col("orig_turn"),
+        col("conv_id"), col("turn"),
+        col("`meta.role`").as("role"), col("`meta.score`").as("score"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("parse_error_kind"),
+        (col("partition_id") >= 0 && col("partition_id") < 8).as("pid_ok"),
+        lit(idx.tagFields.mkString(",")).as("tags_cfg"))
+    }),
+
     // parse → docToJson round-trip (populate_json, P6 nested depth): the
     // oracle reconstructs the expected rendered JSON from the same input
     // derivation — coerced strings come back as numbers, error leaves are
@@ -1496,6 +1530,44 @@ object SparkEntry {
     "p_mapping_tree" -> MappingTreeOracleSql,
 
     "p_mapping_config" -> MappingTreeOracleSql,
+
+    // Same doc derivation as the mapping-tree oracle; the routing invariant
+    // and the config-computed tag set (declared meta.role + promoted
+    // partition-key field conv_id, sorted) are pinned as constants.
+    "pipe_config_e2e" -> (TranscriptsCte +
+      """, docs AS (
+        |  SELECT conv_id AS orig_conv, turn_idx AS orig_turn,
+        |    CASE WHEN turn_idx % 17 = 0 AND turn_idx > 0 THEN 'oops'
+        |         ELSE '{"conv_id":"' || conv_id || '","turn":' || CAST(turn_idx AS VARCHAR) ||
+        |              ',"meta":{"role":"' || role || '","score":' ||
+        |              CASE WHEN turn_idx % 5 = 0 THEN '"' || CAST(turn_idx % 100 AS VARCHAR) || '"'
+        |                   WHEN turn_idx % 7 = 0 THEN CAST(turn_idx % 100 AS VARCHAR) || '.5'
+        |                   ELSE CAST(turn_idx % 100 AS VARCHAR) END ||
+        |              ',"tags":' ||
+        |              CASE WHEN turn_idx % 13 = 0 THEN CAST(turn_idx % 100 AS VARCHAR)
+        |                   ELSE '[' || CAST(turn_idx % 100 AS VARCHAR) || ',' || CAST(turn_idx % 100 + 1 AS VARCHAR) || ']' END ||
+        |              '}' ||
+        |              CASE WHEN turn_idx % 11 = 0 THEN ',"extra_field":' || CAST(turn_idx % 100 AS VARCHAR) ELSE '' END ||
+        |              ',"ts":' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '}'
+        |    END AS doc
+        |  FROM transcripts),
+        |parsed AS (SELECT *, json_valid(doc) AS ok FROM docs)
+        |SELECT orig_conv, orig_turn,
+        |  CASE WHEN ok THEN json_extract_string(doc, '$.conv_id') END AS conv_id,
+        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.turn') AS BIGINT) END AS turn,
+        |  CASE WHEN ok THEN json_extract_string(doc, '$.meta.role') END AS role,
+        |  CASE WHEN NOT ok THEN NULL
+        |       WHEN json_type(doc, '$.meta.score') IN ('BIGINT', 'UBIGINT')
+        |         THEN CAST(json_extract(doc, '$.meta.score') AS BIGINT)
+        |       WHEN json_type(doc, '$.meta.score') = 'VARCHAR'
+        |         THEN TRY_CAST(json_extract_string(doc, '$.meta.score') AS BIGINT)
+        |       ELSE NULL END AS score,
+        |  CASE WHEN ok THEN CAST(json_extract(doc, '$.ts') AS BIGINT) * 1000000 END AS ts_us,
+        |  CASE WHEN NOT ok THEN 'json_parse_error'
+        |       WHEN json_type(doc, '$.meta.score') = 'DOUBLE' THEN 'value_error' END AS parse_error_kind,
+        |  TRUE AS pid_ok,
+        |  'conv_id,meta.role' AS tags_cfg
+        |FROM parsed""".stripMargin),
 
     "es_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS count FROM documents

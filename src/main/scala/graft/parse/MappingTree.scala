@@ -61,9 +61,14 @@ object MappingTree {
 
   sealed trait Mapping { def name: String }
   /** `coerce` is the numeric string-coercion flag (default true, like the
-    * reference's QuickwitNumericOptions). */
+    * reference's QuickwitNumericOptions). `fast`/`indexed`/`tokenizer` carry
+    * the per-field index options the config-level validations inspect
+    * (timestamp-field and tag-field rules, default_mapper.rs:115-320);
+    * `tokenizer` is only meaningful on text fields (default "default"). */
   final case class Leaf(name: String, typ: LeafType, multi: Boolean = false,
-                        coerce: Boolean = true) extends Mapping
+                        coerce: Boolean = true, fast: Boolean = false,
+                        indexed: Boolean = true,
+                        tokenizer: Option[String] = None) extends Mapping
   final case class Node(name: String, children: Seq[Mapping]) extends Mapping
 
   sealed trait Mode
