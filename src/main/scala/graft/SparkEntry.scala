@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Snippets, Tokenizers}
-import graft.operators.{Aggs, Dedup, Jaeger, Multimodal, Scoring, Similarity, SplitSketches, TextAnalysis}
+import graft.operators.{Aggs, Dedup, Jaeger, Multimodal, QualityFilters, Scoring, Similarity, SplitSketches, TextAnalysis}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
 import graft.publish.MergePolicy
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
@@ -716,6 +716,67 @@ object SparkEntry {
     "x_quality_score" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // Gopher-style document quality gate (QualityFilters.gopherRules): raw
+    // features + per-rule booleans, all codegen'd column exprs — the filter
+    // pass an LLM ingest runs between parse and dedup.
+    "x_gopher_quality" -> ((s, d) => {
+      val r = QualityFilters.gopherRules(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        r.getField("word_count").as("word_count"),
+        round(r.getField("mean_word_len"), 4).as("mean_word_len"),
+        round(r.getField("alpha_word_frac"), 4).as("alpha_word_frac"),
+        r.getField("stop_hits").as("stop_hits"),
+        r.getField("ok_word_count").as("ok_word_count"),
+        r.getField("ok_mean_word_len").as("ok_mean_word_len"),
+        r.getField("ok_symbol_ratio").as("ok_symbol_ratio"),
+        r.getField("ok_stopwords").as("ok_stopwords"),
+        r.getField("keep").as("keep"))
+    }),
+
+    // Repetition removal signals (Gopher A.1.1) over per-conversation
+    // rollups: each turn text is a "line" of the conversation document.
+    // Stays one shuffle (the groupBy) — fractions are array exprs after.
+    "x_repetition" -> ((s, d) => {
+      val ls = transcripts(s, d).filter(col("text").isNotNull)
+        .groupBy("conv_id")
+        .agg(transform(sort_array(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text")).as("ls"))
+      ls.select(col("conv_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        round(QualityFilters.duplicateLineFraction(col("ls")), 4).as("dup_line_frac"),
+        round(QualityFilters.duplicateLineCharFraction(col("ls")), 4).as("dup_char_frac"))
+    }),
+
+    // Top-2-gram character coverage (Gopher's top-n-gram fraction): a real
+    // distributed agg — explode to (doc, gram), count, max(cnt·len) — that
+    // shuffles gram triples, never document text. Integer outputs keep the
+    // oracle hash exact.
+    "x_top_bigram" -> ((s, d) =>
+      QualityFilters.topBigramCover(t(s, d, "documents"), "doc_id", "text")),
+
+    // PII redaction over documents with DETERMINISTICALLY injected PII
+    // (the oracle re-injects the identical strings): emails, then IPv4s,
+    // then phone-shaped runs, with typed tags.
+    "x_pii_redact" -> ((s, d) => {
+      val injected = t(s, d, "documents").withColumn("text2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".5")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" call 555-123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      val c = QualityFilters.piiCounts(col("text2"))
+      injected.select(col("doc_id"),
+        QualityFilters.redactPii(col("text2")).as("redacted"),
+        c.getField("n_emails").as("n_emails"),
+        c.getField("n_ips").as("n_ips"),
+        c.getField("n_phones").as("n_phones"))
+    }),
 
     // ---- bytes / ip leaf parse (P4) --------------------------------------
     "p_bytes_parse" -> ((s, d) =>
@@ -1867,6 +1928,84 @@ object SparkEntry {
         |  + least(stop_ratio * 4.0, 1.0) * 0.4
         |  + (1.0 - greatest(punct_ratio, digit_ratio) * 2.0) * 0.2)), 4) AS quality
         |FROM r""".stripMargin,
+
+    "x_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+        |    text FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS word_count,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(list_aggregate(list_transform(ws, x -> strlen(x)), 'sum') AS DOUBLE) / len(ws) END AS mean_word_len,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_word_frac,
+        |    CAST(len(list_intersect(ws, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws) END AS symbol_ratio
+        |  FROM w)
+        |SELECT doc_id, word_count,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(alpha_word_frac, 4) AS alpha_word_frac,
+        |  stop_hits,
+        |  (word_count >= 50 AND word_count <= 100000) AS ok_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+        |  (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+        |  (stop_hits >= 2) AS ok_stopwords,
+        |  (word_count >= 50 AND word_count <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND stop_hits >= 2
+        |    AND alpha_word_frac >= 0.8) AS keep
+        |FROM f""".stripMargin,
+
+    "x_repetition" -> (TranscriptsCte +
+      """, l AS (SELECT conv_id, text FROM transcripts WHERE text IS NOT NULL),
+        |a AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT text) AS BIGINT) AS nd,
+        |             CAST(sum(strlen(text)) AS DOUBLE) AS chars
+        |      FROM l GROUP BY conv_id),
+        |dc AS (SELECT conv_id, CAST(sum(strlen(text)) AS DOUBLE) AS dchars
+        |       FROM (SELECT DISTINCT conv_id, text FROM l) GROUP BY conv_id)
+        |SELECT a.conv_id, a.n AS n_lines,
+        |  round((a.n - a.nd) * 1.0 / a.n, 4) AS dup_line_frac,
+        |  round((a.chars - dc.dchars) / a.chars, 4) AS dup_char_frac
+        |FROM a JOIN dc ON a.conv_id = dc.conv_id""".stripMargin),
+
+    "x_top_bigram" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_chars,
+        |        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |      FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(cnt * strlen(gram)) AS BIGINT) AS covered_chars, n_chars
+        |FROM c GROUP BY doc_id, n_chars""".stripMargin,
+
+    "x_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS text2
+        |  FROM documents),
+        |step AS (
+        |  SELECT doc_id, text2,
+        |    regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+        |  FROM inj),
+        |step2 AS (
+        |  SELECT doc_id, text2, no_email,
+        |    regexp_replace(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS no_ip
+        |  FROM step)
+        |SELECT doc_id,
+        |  regexp_replace(no_ip, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(no_ip, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones
+        |FROM step2""".stripMargin,
 
     "m_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

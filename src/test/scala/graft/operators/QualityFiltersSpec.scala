@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Hand-vector pins for the Gopher/C4-style quality + repetition filters. */
+class QualityFiltersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def row(text: String, c: org.apache.spark.sql.Column): Row =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getStruct(0)
+
+  test("duplicate line fractions: 4 lines, one repeated") {
+    // "aa" repeats: 4 lines, 3 distinct → line frac 1/4;
+    // chars 2+3+2+4=11, distinct chars 2+3+4=9 → char frac 2/11
+    val df = Seq("aa\nbbb\naa\ncccc").toDF("t").select(
+      QualityFilters.duplicateLineFraction(QualityFilters.lines(col("t"))).as("lf"),
+      QualityFilters.duplicateLineCharFraction(QualityFilters.lines(col("t"))).as("cf"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 0.25)
+    assert(math.abs(r.getDouble(1) - 2.0 / 11.0) < 1e-12)
+    // no duplicates → both zero; empty text → zero (not NaN)
+    val clean = Seq("x\ny", "").toDF("t").select(
+      QualityFilters.duplicateLineFraction(QualityFilters.lines(col("t"))).as("lf"),
+      QualityFilters.duplicateLineCharFraction(QualityFilters.lines(col("t"))).as("cf"))
+      .collect()
+    assert(clean(0).getDouble(0) == 0.0 && clean(0).getDouble(1) == 0.0)
+  }
+
+  test("top-bigram cover: heaviest 2-gram by occurrences x length") {
+    // "a b a b a b c" → bigram "a b" x3 (len 3 → 9 covered), "b a" x2 (6),
+    // "b c" x1 (3). n_chars = 13.
+    val df = Seq((1L, "a b a b a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val out = QualityFilters.topBigramCover(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 1) // doc 2 has <2 words → no bigrams → dropped
+    assert(out(0).getAs[Long]("covered_chars") == 9L)
+    assert(out(0).getAs[Long]("n_chars") == 13L)
+  }
+
+  test("gopher rules: word stats, stopwords, bullets, ellipsis") {
+    val good = ("the cat and the dog sat with all of that " * 5).trim
+    val g = row(good, QualityFilters.gopherRules(col("t")))
+    assert(g.getAs[Long]("word_count") == 50L)
+    assert(g.getAs[Long]("stop_hits") >= 2L)
+    assert(g.getAs[Boolean]("ok_word_count"))
+    assert(g.getAs[Boolean]("keep"))
+
+    val short = row("tiny doc", QualityFilters.gopherRules(col("t")))
+    assert(!short.getAs[Boolean]("ok_word_count") && !short.getAs[Boolean]("keep"))
+
+    val hashy = row(("# " * 60).trim, QualityFilters.gopherRules(col("t")))
+    assert(!hashy.getAs[Boolean]("ok_symbol_ratio"))
+    assert(!hashy.getAs[Boolean]("ok_alpha_words"))
+
+    val bullets = row((1 to 10).map(i => s"- item $i").mkString("\n"),
+      QualityFilters.gopherRules(col("t")))
+    assert(bullets.getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!bullets.getAs[Boolean]("ok_bullet_lines"))
+
+    val dots = row("first line...\nsecond...\nthird...\nplain",
+      QualityFilters.gopherRules(col("t")))
+    assert(dots.getAs[Double]("ellipsis_line_frac") == 0.75)
+    assert(!dots.getAs[Boolean]("ok_ellipsis_lines"))
+
+    val empty = row("", QualityFilters.gopherRules(col("t")))
+    assert(empty.getAs[Long]("word_count") == 0L)
+    assert(!empty.getAs[Boolean]("keep"))
+  }
+
+  test("pii redaction: emails, ips, phones; email host not eaten by ip rule") {
+    val in = "mail bob@ex.com or 10.1.2.3 or 555-123-4567 or alice@h2.org end"
+    val red = Seq(in).toDF("t")
+      .select(QualityFilters.redactPii(col("t")).as("r")).as[String].collect()(0)
+    assert(red == "mail <EMAIL> or <IP> or <PHONE> or <EMAIL> end")
+    val c = row(in, QualityFilters.piiCounts(col("t")))
+    assert(c.getAs[Long]("n_emails") == 2L)
+    assert(c.getAs[Long]("n_ips") == 1L)
+    assert(c.getAs[Long]("n_phones") == 1L)
+    // a bare version-like string must not count as an IP inside a word
+    val none = row("v1.2.3.4beta", QualityFilters.piiCounts(col("t")))
+    assert(none.getAs[Long]("n_ips") == 0L)
+  }
+}
