@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Snippets, Tokenizers}
-import graft.operators.{Aggs, Dedup, Jaeger, Multimodal, QualityFilters, Scoring, Similarity, SplitSketches, TextAnalysis}
+import graft.operators.{Aggs, Decontaminate, Dedup, Jaeger, Multimodal, QualityFilters, Scoring, Similarity, SplitSketches, TextAnalysis}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
 import graft.publish.MergePolicy
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
@@ -776,6 +776,17 @@ object SparkEntry {
         c.getField("n_emails").as("n_emails"),
         c.getField("n_ips").as("n_ips"),
         c.getField("n_phones").as("n_phones"))
+    }),
+
+    // Benchmark decontamination (Decontaminate.contamination): flag docs
+    // sharing any word 5-gram with a "benchmark" corpus — here the first 30
+    // words of every 17th doc, so the oracle can rebuild the identical set.
+    // Bench grams broadcast; training grams never shuffle.
+    "x_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(concat_ws(" ", slice(QualityFilters.words(col("text")), 1, 30)).as("btext"))
+      Decontaminate.contamination(docs, "doc_id", "text", bench, "btext", 5)
     }),
 
     // ---- bytes / ip leaf parse (P4) --------------------------------------
@@ -1983,6 +1994,30 @@ object SparkEntry {
         |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
         |SELECT doc_id, CAST(max(cnt * strlen(gram)) AS BIGINT) AS covered_chars, n_chars
         |FROM c GROUP BY doc_id, n_chars""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) < 5 THEN []
+        |    ELSE list_transform(range(1, len(ws) - 3),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS grams
+        |  FROM w),
+        |bg AS (
+        |  SELECT DISTINCT unnest(grams) AS gram
+        |  FROM (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 5 THEN []
+        |          ELSE list_transform(range(1, len(ws) - 3),
+        |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS grams
+        |        FROM (SELECT doc_id, ws[1:30] AS ws FROM w WHERE doc_id % 17 = 0))),
+        |hits AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) t JOIN bg USING (gram)
+        |  GROUP BY t.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+        |  coalesce(hits.n, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""".stripMargin,
 
     "x_pii_redact" ->
       """WITH inj AS (
