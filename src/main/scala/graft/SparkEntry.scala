@@ -3,7 +3,7 @@ package graft
 import graft.functions.{Snippets, Tokenizers}
 import graft.operators.{Aggs, Decontaminate, Dedup, Jaeger, Multimodal, QualityFilters, Scoring, Similarity, SplitSketches, TextAnalysis}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
-import graft.publish.MergePolicy
+import graft.publish.{ListSplits, MergePolicy}
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
 import graft.route.Routing
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1109,6 +1109,45 @@ object SparkEntry {
         .orderBy("partition_id")
     }),
 
+    // Metastore list-splits (ListSplits): the reference's ListSplitsQuery
+    // filter surface over a split-metadata frame synthesized per
+    // conversation with DETERMINISTIC lifecycle fields (state / timestamps
+    // / opstamps all pure functions of the conv id, so DuckDB rebuilds the
+    // identical metastore). Exercises states + tag filter + opstamp /
+    // update-timestamp ranges + time-range overlap incl. the null-range
+    // pass rule, then the staleness sort with offset+limit.
+    "m_list_splits" -> ((s, d) => {
+      val cid = substring(col("split_id"), 5, 20).cast("long")
+      val meta = transcripts(s, d).filter(col("text").isNotNull)
+        .groupBy(col("conv_id").as("split_id"))
+        .agg(count(lit(1)).as("num_docs"),
+          unix_micros(min(col("ts")).cast("timestamp_ltz")).as("ts_min"),
+          unix_micros(max(col("ts")).cast("timestamp_ltz")).as("ts_max"),
+          sort_array(collect_set(concat(lit("role:"), col("role")))).as("tags"))
+        .select(col("split_id"), col("num_docs"), col("tags"),
+          element_at(array(lit("Staged"), lit("Published"), lit("MarkedForDeletion")),
+            (pmod(cid, lit(3L)) + 1).cast("int")).as("split_state"),
+          pmod(cid * 7L, lit(1000L)).as("create_timestamp"),
+          pmod(cid * 13L, lit(1000L)).as("update_timestamp"),
+          pmod(cid, lit(10L)).as("delete_opstamp"),
+          when(pmod(cid, lit(3L)) === 0L, lit(null).cast("long"))
+            .otherwise(pmod(cid, lit(97L))).as("publish_timestamp"),
+          lit(null).cast("long").as("maturation_period_secs"),
+          when(pmod(cid, lit(5L)) === 4L, lit(null).cast("long"))
+            .otherwise(col("ts_min")).as("time_range_start"),
+          when(pmod(cid, lit(5L)) === 4L, lit(null).cast("long"))
+            .otherwise(col("ts_max")).as("time_range_end"))
+      ListSplits(meta, ListSplits.Query(
+        splitStates = Seq("Published", "Staged"),
+        tags = Some(ListSplits.Tag(isPresent = true, tag = "role:user")),
+        deleteOpstamp = ListSplits.FilterRange.gte(2L),
+        updateTimestamp = ListSplits.FilterRange.lt(700L),
+        timeRange = ListSplits.FilterRange.gt(1704412800000000L), // 2024-01-05 UTC µs
+        sortByStaleness = true, offset = 1, limit = Some(200)))
+        .select("split_id", "split_state", "num_docs", "delete_opstamp",
+          "update_timestamp", "create_timestamp", "publish_timestamp")
+    }),
+
     // ---- merge planning over live split stats ----------------------------
     // Invariant oracle (same pattern as r_route_counts): the batch
     // assignment itself is the policy loop (not SQL-expressible), but its
@@ -1730,6 +1769,35 @@ object SparkEntry {
         |FROM tr GROUP BY partition_id
         |HAVING max(ts) >= TIMESTAMP '2024-01-08'
         |ORDER BY partition_id""".stripMargin),
+
+    "m_list_splits" -> (TranscriptsCte +
+      """, sp AS (
+        |  SELECT conv_id AS split_id, CAST(substr(conv_id, 5) AS BIGINT) AS cid,
+        |    CAST(count(*) AS BIGINT) AS num_docs,
+        |    epoch_us(min(ts)) AS ts_min, epoch_us(max(ts)) AS ts_max,
+        |    list_sort(list_distinct(list('role:' || role))) AS tags
+        |  FROM transcripts WHERE text IS NOT NULL GROUP BY conv_id),
+        |m AS (
+        |  SELECT split_id, num_docs,
+        |    ['Staged','Published','MarkedForDeletion'][CAST(cid % 3 AS INT) + 1] AS split_state,
+        |    (cid * 7) % 1000 AS create_timestamp,
+        |    (cid * 13) % 1000 AS update_timestamp,
+        |    cid % 10 AS delete_opstamp,
+        |    CASE WHEN cid % 3 = 0 THEN NULL ELSE cid % 97 END AS publish_timestamp,
+        |    CASE WHEN cid % 5 = 4 THEN NULL ELSE ts_min END AS time_range_start,
+        |    CASE WHEN cid % 5 = 4 THEN NULL ELSE ts_max END AS time_range_end,
+        |    tags
+        |  FROM sp)
+        |SELECT split_id, split_state, num_docs, delete_opstamp,
+        |  update_timestamp, create_timestamp, publish_timestamp
+        |FROM m
+        |WHERE split_state IN ('Published', 'Staged')
+        |  AND list_contains(tags, 'role:user')
+        |  AND delete_opstamp >= 2
+        |  AND update_timestamp < 700
+        |  AND (time_range_start IS NULL OR 1704412800000000 < time_range_end)
+        |ORDER BY delete_opstamp, publish_timestamp NULLS FIRST, split_id
+        |LIMIT 200 OFFSET 1""".stripMargin),
 
     // SQL mirror of the md5-hashed simhash pipeline: same 64-bit token hash
     // (md5 prefix as signed two-halves), same sign-sum fingerprint, same
