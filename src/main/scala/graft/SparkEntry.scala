@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Snippets, Tokenizers}
-import graft.operators.{Aggs, Decontaminate, Dedup, Jaeger, Multimodal, QualityFilters, Scoring, Similarity, SplitSketches, TextAnalysis}
+import graft.operators.{Aggs, Decontaminate, Dedup, Jaeger, Multimodal, QualityFilters, Scoring, Similarity, SplitSketches, TextAnalysis, TrainingMix}
 import graft.parse.{BytesParse, DateTimeParse, DocParser}
 import graft.publish.{ListSplits, MergePolicy}
 import graft.queryast.{EsDsl, FieldResolver, UserQueryParser}
@@ -788,6 +788,23 @@ object SparkEntry {
         .select(concat_ws(" ", slice(QualityFilters.words(col("text")), 1, 30)).as("btext"))
       Decontaminate.contamination(docs, "doc_id", "text", bench, "btext", 5)
     }),
+
+    // GPT-style sequence packing (TrainingMix.packSequences): concatenated
+    // token stream chunked at a 256-token budget, bucketed 8 ways so every
+    // running-sum window is bounded by bucket size (never a global window).
+    "x_seq_pack" -> ((s, d) =>
+      TrainingMix.packSequences(
+        t(s, d, "documents").select(col("doc_id"),
+          size(QualityFilters.words(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256L, numBuckets = 8)),
+
+    // Deterministic mixture sampling (TrainingMix.sampleMixture): per-source
+    // rates, u(doc_id) a pure residue — reruns and the oracle agree
+    // row-for-row, no RNG state. Rates: src<i> keeps (i mod 10)/10.
+    "x_mixture_sample" -> ((s, d) =>
+      TrainingMix.sampleMixture(
+        t(s, d, "documents").select("doc_id", "source"), "doc_id", "source",
+        (0 until 20).map(i => s"src$i" -> (i % 10) / 10.0).toMap)),
 
     // ---- bytes / ip leaf parse (P4) --------------------------------------
     "p_bytes_parse" -> ((s, d) =>
@@ -2086,6 +2103,30 @@ object SparkEntry {
         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
         |  coalesce(hits.n, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""".stripMargin,
+
+    "x_seq_pack" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+        |  FROM w)
+        |SELECT doc_id, bucket, n_tokens,
+        |  end_tok - n_tokens AS start_tok,
+        |  CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT) AS first_seq,
+        |  CAST(floor(greatest(end_tok - 1, end_tok - n_tokens) / 256.0) AS BIGINT) AS last_seq,
+        |  (end_tok - n_tokens) % 256 AS offset_in_seq
+        |FROM c""".stripMargin,
+
+    "x_mixture_sample" ->
+      """SELECT doc_id, source,
+        |  (doc_id * 37 + 11) % 1000 / 1000.0 AS u,
+        |  (CAST(substr(source, 4) AS INT) % 10) / 10.0 AS rate,
+        |  (doc_id * 37 + 11) % 1000 / 1000.0 < (CAST(substr(source, 4) AS INT) % 10) / 10.0 AS keep
+        |FROM documents""".stripMargin,
 
     "x_pii_redact" ->
       """WITH inj AS (
