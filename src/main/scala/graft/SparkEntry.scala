@@ -117,6 +117,34 @@ object SparkEntry {
   private val JaegerLookbackSecs = 15L * 86400 // window starts 2024-01-16T00:00Z
 
   /** tool → sink routing dimension (broadcast enrichment). */
+  /** Synthetic metastore for the ListSplits / DeleteTaskPlanner queries:
+    * one split per conversation, with lifecycle fields (state, timestamps,
+    * opstamps, publish/maturity, a 1-in-5 null time range) that are PURE
+    * FUNCTIONS of the conv id so the DuckDB oracle rebuilds the identical
+    * metastore. */
+  private def splitMetastore(s: SparkSession, d: String): DataFrame = {
+    val cid = substring(col("split_id"), 5, 20).cast("long")
+    transcripts(s, d).filter(col("text").isNotNull)
+      .groupBy(col("conv_id").as("split_id"))
+      .agg(count(lit(1)).as("num_docs"),
+        unix_micros(min(col("ts")).cast("timestamp_ltz")).as("ts_min"),
+        unix_micros(max(col("ts")).cast("timestamp_ltz")).as("ts_max"),
+        sort_array(collect_set(concat(lit("role:"), col("role")))).as("tags"))
+      .select(col("split_id"), col("num_docs"), col("tags"),
+        element_at(array(lit("Staged"), lit("Published"), lit("MarkedForDeletion")),
+          (pmod(cid, lit(3L)) + 1).cast("int")).as("split_state"),
+        pmod(cid * 7L, lit(1000L)).as("create_timestamp"),
+        pmod(cid * 13L, lit(1000L)).as("update_timestamp"),
+        pmod(cid, lit(10L)).as("delete_opstamp"),
+        when(pmod(cid, lit(3L)) === 0L, lit(null).cast("long"))
+          .otherwise(pmod(cid, lit(97L))).as("publish_timestamp"),
+        lit(null).cast("long").as("maturation_period_secs"),
+        when(pmod(cid, lit(5L)) === 4L, lit(null).cast("long"))
+          .otherwise(col("ts_min")).as("time_range_start"),
+        when(pmod(cid, lit(5L)) === 4L, lit(null).cast("long"))
+          .otherwise(col("ts_max")).as("time_range_end"))
+  }
+
   private def sinkDim(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("purchase", "sink_commerce"), ("view", "sink_web"),
@@ -1133,28 +1161,8 @@ object SparkEntry {
     // identical metastore). Exercises states + tag filter + opstamp /
     // update-timestamp ranges + time-range overlap incl. the null-range
     // pass rule, then the staleness sort with offset+limit.
-    "m_list_splits" -> ((s, d) => {
-      val cid = substring(col("split_id"), 5, 20).cast("long")
-      val meta = transcripts(s, d).filter(col("text").isNotNull)
-        .groupBy(col("conv_id").as("split_id"))
-        .agg(count(lit(1)).as("num_docs"),
-          unix_micros(min(col("ts")).cast("timestamp_ltz")).as("ts_min"),
-          unix_micros(max(col("ts")).cast("timestamp_ltz")).as("ts_max"),
-          sort_array(collect_set(concat(lit("role:"), col("role")))).as("tags"))
-        .select(col("split_id"), col("num_docs"), col("tags"),
-          element_at(array(lit("Staged"), lit("Published"), lit("MarkedForDeletion")),
-            (pmod(cid, lit(3L)) + 1).cast("int")).as("split_state"),
-          pmod(cid * 7L, lit(1000L)).as("create_timestamp"),
-          pmod(cid * 13L, lit(1000L)).as("update_timestamp"),
-          pmod(cid, lit(10L)).as("delete_opstamp"),
-          when(pmod(cid, lit(3L)) === 0L, lit(null).cast("long"))
-            .otherwise(pmod(cid, lit(97L))).as("publish_timestamp"),
-          lit(null).cast("long").as("maturation_period_secs"),
-          when(pmod(cid, lit(5L)) === 4L, lit(null).cast("long"))
-            .otherwise(col("ts_min")).as("time_range_start"),
-          when(pmod(cid, lit(5L)) === 4L, lit(null).cast("long"))
-            .otherwise(col("ts_max")).as("time_range_end"))
-      ListSplits(meta, ListSplits.Query(
+    "m_list_splits" -> ((s, d) =>
+      ListSplits(splitMetastore(s, d), ListSplits.Query(
         splitStates = Seq("Published", "Staged"),
         tags = Some(ListSplits.Tag(isPresent = true, tag = "role:user")),
         deleteOpstamp = ListSplits.FilterRange.gte(2L),
@@ -1162,7 +1170,22 @@ object SparkEntry {
         timeRange = ListSplits.FilterRange.gt(1704412800000000L), // 2024-01-05 UTC µs
         sortByStaleness = true, offset = 1, limit = Some(200)))
         .select("split_id", "split_state", "num_docs", "delete_opstamp",
-          "update_timestamp", "create_timestamp", "publish_timestamp")
+          "update_timestamp", "create_timestamp", "publish_timestamp")),
+
+    // Janitor delete-task planning (DeleteTaskPlanner): stalest Published
+    // splits lagging the last delete opstamp (9), matched against three
+    // deterministic pending tasks (a tag-only, a tag+time-window, and a
+    // match-all-from-2024-01-08 task) → delete_and_merge vs bump_opstamp.
+    "m_delete_plan" -> ((s, d) => {
+      import s.implicits._
+      val tasks = Seq(
+        (5L, None, None, Some("role:tool")),
+        (7L, Some(1704240000000000L), Some(1704499200000000L), Some("role:user")),
+        (9L, Some(1704672000000000L), None, None))
+        .toDF("opstamp", "start_ts", "end_ts", "tag")
+      val stale = graft.publish.DeleteTaskPlanner
+        .listStaleSplits(splitMetastore(s, d), lastDeleteOpstamp = 9L, nowSec = 1L)
+      graft.publish.DeleteTaskPlanner.partitionByDeletes(stale, tasks)
     }),
 
     // ---- merge planning over live split stats ----------------------------
@@ -1815,6 +1838,42 @@ object SparkEntry {
         |  AND (time_range_start IS NULL OR 1704412800000000 < time_range_end)
         |ORDER BY delete_opstamp, publish_timestamp NULLS FIRST, split_id
         |LIMIT 200 OFFSET 1""".stripMargin),
+
+    "m_delete_plan" -> (TranscriptsCte +
+      """, sp AS (
+        |  SELECT conv_id AS split_id, CAST(substr(conv_id, 5) AS BIGINT) AS cid,
+        |    epoch_us(min(ts)) AS ts_min, epoch_us(max(ts)) AS ts_max,
+        |    list_sort(list_distinct(list('role:' || role))) AS tags
+        |  FROM transcripts WHERE text IS NOT NULL GROUP BY conv_id),
+        |m AS (
+        |  SELECT split_id,
+        |    ['Staged','Published','MarkedForDeletion'][CAST(cid % 3 AS INT) + 1] AS split_state,
+        |    cid % 10 AS delete_opstamp,
+        |    CASE WHEN cid % 3 = 0 THEN NULL ELSE cid % 97 END AS publish_timestamp,
+        |    CASE WHEN cid % 5 = 4 THEN NULL ELSE ts_min END AS time_range_start,
+        |    CASE WHEN cid % 5 = 4 THEN NULL ELSE ts_max END AS time_range_end,
+        |    tags
+        |  FROM sp),
+        |stale AS (
+        |  SELECT split_id, delete_opstamp, tags, time_range_start, time_range_end
+        |  FROM m WHERE split_state = 'Published' AND delete_opstamp < 9
+        |  ORDER BY delete_opstamp, publish_timestamp NULLS FIRST, split_id
+        |  LIMIT 1000),
+        |tasks(opstamp, start_ts, end_ts, tag) AS (VALUES
+        |  (5, NULL, NULL, 'role:tool'),
+        |  (7, 1704240000000000, 1704499200000000, 'role:user'),
+        |  (9, 1704672000000000, NULL, NULL))
+        |SELECT s.split_id, s.delete_opstamp,
+        |  CAST(count(t.opstamp) AS BIGINT) AS n_matching_tasks,
+        |  CASE WHEN count(t.opstamp) > 0 THEN 'delete_and_merge'
+        |       ELSE 'bump_opstamp' END AS action
+        |FROM stale s LEFT JOIN tasks t
+        |  ON t.opstamp > s.delete_opstamp
+        |  AND (s.time_range_start IS NULL OR (t.start_ts IS NULL AND t.end_ts IS NULL)
+        |       OR NOT (coalesce(t.end_ts, 9223372036854775807) <= s.time_range_start
+        |               OR s.time_range_end < coalesce(t.start_ts, -9223372036854775808)))
+        |  AND (t.tag IS NULL OR list_contains(s.tags, t.tag))
+        |GROUP BY s.split_id, s.delete_opstamp""".stripMargin),
 
     // SQL mirror of the md5-hashed simhash pipeline: same 64-bit token hash
     // (md5 prefix as signed two-halves), same sign-sum fingerprint, same
