@@ -603,6 +603,18 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ES index-id pattern resolution (IndexPatterns): `idx-src1*,idx-src5`
+    // resolved against per-source index ids via the reference's exact
+    // glob→regex rendition, then per-index doc counts — the `_search` on
+    // `logs-*`-style multi-index targets.
+    "j_union_patterns" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("index_id", concat(lit("idx-"), col("source")))
+        .filter(graft.queryast.IndexPatterns.matchColumn(
+          Seq("idx-src1*", "idx-src5"), col("index_id")))
+        .groupBy("index_id").agg(count(lit(1)).as("n_docs"))
+        .orderBy("index_id")),
+
     // ---- dedup -----------------------------------------------------------
     "d_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))),
@@ -1582,6 +1594,13 @@ object SparkEntry {
         |  SELECT * FROM events WHERE event_type = 'error'
         |  UNION ALL SELECT * FROM events WHERE event_type = 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j_union_patterns" ->
+      """SELECT 'idx-' || source AS index_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE regexp_matches('idx-' || source, '^idx\-src1.*$')
+        |   OR regexp_matches('idx-' || source, '^idx\-src5$')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_exact" ->
       """SELECT text AS text_key, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
