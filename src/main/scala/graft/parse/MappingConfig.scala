@@ -72,7 +72,13 @@ object MappingConfig {
         case "f64"   => TF64
         case "bool"  => TBool
         case "ip"    => TIpAddr
-        case "bytes" => TBytes
+        case "bytes" =>
+          def fmt(key: String): Boolean = o.get(key) match {
+            case None | Some("base64") => false
+            case Some("hex")           => true
+            case Some(other) => fail(s"field `$name` has an unknown binary format: `$other`")
+          }
+          TBytes(hexInput = fmt("input_format"), hexOutput = fmt("output_format"))
         case "json"  => TJson
         case "datetime" =>
           TDateTime(o.get("input_formats")
@@ -81,7 +87,7 @@ object MappingConfig {
         case _ => fail(s"field `$name` has an unknown type: `$typeId`")
       }
       val fast = o.getOrElse("fast", false) == true
-      if (typ == TBytes && multi && fast)
+      if (typ.isInstanceOf[TBytes] && multi && fast)
         fail("fast field is not allowed for array<bytes>")
       Leaf(name, typ, multi = multi,
         coerce = o.getOrElse("coerce", true).asInstanceOf[Boolean],
@@ -272,9 +278,21 @@ object MappingConfig {
     // -- default search fields (builder :213-229): duplicates, unknown
     //    (dynamic mode resolves unknowns to the dynamic field), unindexed --
     val seenSearch = scala.collection.mutable.Set.empty[String]
+    // tantivy `find_field_with_default` semantics (default_mapper.rs:219-229):
+    // an exact leaf wins; otherwise the LONGEST field prefix that resolves
+    // to a `json` leaf captures the remainder as a json path (how the OTEL
+    // configs' `body.message` resolves to the `body` json field).
+    def resolveSearchField(path: String): Option[MappingTree.Leaf] =
+      leafOf(path).orElse {
+        val segs = splitPath(path)
+        (segs.length - 1 to 1 by -1).view.flatMap { n =>
+          leafOf(MappingTree.fieldName(segs.take(n)))
+            .filter(_.typ == MappingTree.TJson)
+        }.headOption
+      }
     defaultSearchFields.foreach { f =>
       if (!seenSearch.add(f)) fail(s"duplicated default search field: `$f`")
-      leafOf(f) match {
+      resolveSearchField(f) match {
         case Some(l) =>
           if (!l.indexed) fail(s"default search field `$f` is not indexed")
         case None =>
@@ -304,7 +322,7 @@ object MappingConfig {
             val typeName = other match {
               case MappingTree.TF64         => "f64"
               case MappingTree.TBool        => "bool"
-              case MappingTree.TBytes       => "bytes"
+              case MappingTree.TBytes(_, _) => "bytes"
               case MappingTree.TDateTime(_) => "date"
               case MappingTree.TIpAddr      => "ipaddr"
               case MappingTree.TJson        => "jsonobject"

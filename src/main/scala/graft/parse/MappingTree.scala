@@ -53,7 +53,11 @@ object MappingTree {
   case object TU64 extends LeafType
   case object TF64 extends LeafType
   case object TBool extends LeafType
-  case object TBytes extends LeafType
+  /** `hexInput`/`hexOutput` mirror the reference's per-field BinaryFormat
+    * (field_mapping_entry.rs:183-231): base64 by default, hex on request;
+    * input drives parsing, output drives back-projection. */
+  final case class TBytes(hexInput: Boolean = false,
+                          hexOutput: Boolean = false) extends LeafType
   case object TIpAddr extends LeafType
   case object TJson extends LeafType
   final case class TDateTime(inputFormats: Seq[String] = Seq("rfc3339", "unix_timestamp"))
@@ -98,7 +102,7 @@ object MappingTree {
     case TU64         => DecimalType(20, 0)
     case TF64         => DoubleType
     case TBool        => BooleanType
-    case TBytes       => BinaryType
+    case TBytes(_, _) => BinaryType
     case TIpAddr      => StringType
     case TJson        => StringType
     case TDateTime(_) => TimestampType
@@ -107,6 +111,7 @@ object MappingTree {
   // ---- per-leaf scalar dispatch ----------------------------------------
   private val U64Max = new java.math.BigDecimal("18446744073709551615")
   private val Base64Re = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+  private val HexRe = "^(?:[0-9a-fA-F]{2})*$"
 
   /** Parse ONE non-null scalar variant to the leaf's Spark type; null ⇔
     * value error (callers guard absent/JSON-null before this). */
@@ -135,7 +140,10 @@ object MappingTree {
           kind.startsWith("DECIMAL"), x.cast("double"))
         if (coerce) base.when(kind === "STRING", s.try_cast(DoubleType)) else base
       case TBool  => when(kind === "BOOLEAN", x.cast("boolean"))
-      case TBytes => when(kind === "STRING" && s.rlike(Base64Re), unbase64(s))
+      case TBytes(hexIn, _) =>
+        // hex::decode demands even length + hex digits (BinaryFormat::parse_json)
+        if (hexIn) when(kind === "STRING" && s.rlike(HexRe), unhex(s))
+        else when(kind === "STRING" && s.rlike(Base64Re), unbase64(s))
       case TIpAddr => when(kind === "STRING", BytesParse.normalizeIp(s))
       case TJson  => when(kind.startsWith("OBJECT"), to_json(x))
       case TDateTime(formats) =>
@@ -281,7 +289,8 @@ object MappingTree {
     def leafOut(leaf: Leaf, path: Seq[String]): Column = {
       val c = col("`" + fieldName(path) + "`")
       def fmt(one: Column): Column = leaf.typ match {
-        case TBytes       => base64(one)
+        // hex::encode renders lowercase (BinaryFormat::format_to_json)
+        case TBytes(_, hexOut) => if (hexOut) lower(hex(one)) else base64(one)
         case TDateTime(_) => date_format(one, "yyyy-MM-dd'T'HH:mm:ss'Z'")
         case _            => one
       }

@@ -37,7 +37,7 @@ class MappingConfigSpec extends AnyFunSuite {
       Leaf("score", TF64),
       Leaf("flag", TBool),
       Leaf("host", TIpAddr),
-      Leaf("payload", TBytes),
+      Leaf("payload", TBytes()),
       Leaf("attrs", TJson),
       Leaf("tags", TI64, multi = true),
       Leaf("created", TDateTime(Seq("unix_timestamp"))),
@@ -79,7 +79,7 @@ class MappingConfigSpec extends AnyFunSuite {
       "fast field is not allowed for array<bytes>")
     // non-fast array<bytes> is fine
     assert(MappingConfig.fromJson(one("""{"name": "b", "type": "array<bytes>"}"""))
-      .fieldMappings == Seq(Leaf("b", TBytes, multi = true)))
+      .fieldMappings == Seq(Leaf("b", TBytes(), multi = true)))
   }
 
   test("tokenizers section: the reference's own serde cases (tokenizer_entry.rs:153-240)") {

@@ -17,7 +17,7 @@ class MappingTreeSpec extends SparkTestBase {
     Leaf("body", TText),
     Leaf("response_date", TDateTime(Seq("rfc3339", "unix_timestamp"))),
     Leaf("response_time", TF64),
-    Leaf("response_payload", TBytes),
+    Leaf("response_payload", TBytes()),
     Leaf("owner", TText),
     Leaf("isImportant", TBool),
     Leaf("properties", TJson),
@@ -26,7 +26,7 @@ class MappingTreeSpec extends SparkTestBase {
       Leaf("tags", TI64, multi = true),
       Leaf("server", TText),
       Leaf("server.status", TText, multi = true),
-      Leaf("server.payload", TBytes, multi = true)))),
+      Leaf("server.payload", TBytes(), multi = true)))),
     mode = Dynamic, storeSource = true)
 
   /** example_json_doc_value (default_mapper.rs:666-682). */
@@ -209,7 +209,7 @@ class MappingTreeSpec extends SparkTestBase {
     // json leaf rejects non-object scalars
     assert(parseOne("""{"j":7}""", m).getAs[String]("parse_error_kind") === "value_error")
     // invalid base64 errors
-    assert(parseOne("""{"p":"no!!"}""", DocMapping(Seq(Leaf("p", TBytes))))
+    assert(parseOne("""{"p":"no!!"}""", DocMapping(Seq(Leaf("p", TBytes()))))
       .getAs[String]("parse_error_kind") === "value_error")
   }
 
