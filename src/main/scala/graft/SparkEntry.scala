@@ -404,6 +404,12 @@ object SparkEntry {
     "a_terms" -> ((s, d) =>
       Aggs.terms(t(s, d, "events"), col("event_type"), size = 3)),
 
+    // histogram with tantivy's hard_bounds (closed-interval value clip) and
+    // min_doc_count bucket pruning (aggregation.md:237-249)
+    "a_histogram_bounds" -> ((s, d) =>
+      Aggs.histogram(t(s, d, "events"), col("value"), interval = 50.0,
+        minDocCount = 2L, hardBounds = Some((50.0, 300.0)))),
+
     "a_histogram" -> ((s, d) =>
       Aggs.histogram(t(s, d, "events"), col("value"), interval = 50.0)
         .withColumn("key", col("key").cast("double"))),
@@ -1481,6 +1487,11 @@ object SparkEntry {
     "a_histogram" ->
       """SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS key, CAST(count(*) AS BIGINT) AS doc_count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_histogram_bounds" ->
+      """SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS key, CAST(count(*) AS BIGINT) AS doc_count
+        |FROM events WHERE value >= 50.0 AND value <= 300.0
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
 
     "a_date_histogram" ->
       """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT)) AS key,

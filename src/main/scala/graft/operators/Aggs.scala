@@ -35,10 +35,24 @@ object Aggs {
   /** `histogram`: bucket = floor((v - offset) / interval) * interval + offset
     * (aggregation.md:124-160). Empty buckets are not materialized
     * (min_doc_count=1 semantics; ES default 0 fills gaps — presentation-side). */
-  def histogram(df: DataFrame, value: Column, interval: Double, offset: Double = 0.0): DataFrame =
-    df.groupBy((floor((value - offset) / interval) * interval + offset).as("key"))
+  def histogram(df: DataFrame, value: Column, interval: Double, offset: Double = 0.0,
+                minDocCount: Long = 0L,
+                hardBounds: Option[(Double, Double)] = None): DataFrame = {
+    // hard_bounds filters VALUES to the closed [min, max] interval before
+    // bucketing (aggregation.md:241-249); extended_bounds is presentation
+    // (EsAggResponse.histogram extends the gap-filled range).
+    val clipped = hardBounds.fold(df) { case (lo, hi) =>
+      df.filter(value >= lo && value <= hi)
+    }
+    val agg = clipped
+      .groupBy((floor((value - offset) / interval) * interval + offset).as("key"))
       .agg(count(lit(1)).as("doc_count"))
+    // min_doc_count prunes materialized buckets (aggregation.md:237-239);
+    // 0 and 1 coincide on the frame — empty buckets are never materialized,
+    // gap-filling to 0 is the renderer's job.
+    (if (minDocCount > 1L) agg.filter(col("doc_count") >= minDocCount) else agg)
       .orderBy("key")
+  }
 
   /** Bucket-key expression of `date_histogram` (fixed_interval + offset) —
     * exposed so sub-aggregations can group by the same key. */

@@ -50,19 +50,38 @@ object EsAggResponse {
   }
 
   /** histogram body from a (key, doc_count) frame; ES fills empty buckets
-    * between the observed min and max keys (min_doc_count=0 default). */
-  def histogram(rows: Seq[Row], interval: Double): String = {
+    * between the observed min and max keys (min_doc_count=0 default).
+    * `extendedBounds` widens — never narrows — that gap-filled range
+    * (aggregation.md:266-289: "can only be used to extend the value
+    * range"); the bounds snap onto the bucket grid. `minDocCount > 0`
+    * disables gap-filling entirely (empty buckets would not be returned,
+    * which is why the reference forbids combining the two). */
+  def histogram(rows: Seq[Row], interval: Double,
+                minDocCount: Long = 0L,
+                extendedBounds: Option[(Double, Double)] = None): String = {
     val byKey = rows.map(r => r.getAs[Any]("key") match {
       case d: Double => d -> r.getAs[Long]("doc_count")
       case l: Long   => l.toDouble -> r.getAs[Long]("doc_count")
     }).toMap
+    require(minDocCount == 0L || extendedBounds.isEmpty,
+      "extended_bounds cannot be set in conjunction with min_doc_count > 0")
     val buckets =
-      if (byKey.isEmpty) ""
-      else {
-        val lo = byKey.keys.min; val hi = byKey.keys.max
-        Iterator.iterate(lo)(_ + interval).takeWhile(_ <= hi + interval / 2).map { k =>
-          s"""{"doc_count":${byKey.getOrElse(k, 0L)},"key":${num(k)}}"""
+      if (minDocCount > 0L)
+        byKey.toSeq.sortBy(_._1).map { case (k, c) =>
+          s"""{"doc_count":$c,"key":${num(k)}}"""
         }.mkString(",")
+      else {
+        def snap(v: Double): Double = math.floor(v / interval) * interval
+        val dataRange = if (byKey.isEmpty) None else Some((byKey.keys.min, byKey.keys.max))
+        val range = (dataRange, extendedBounds.map { case (l, h) => (snap(l), snap(h)) }) match {
+          case (Some((dl, dh)), Some((el, eh))) => Some((math.min(dl, el), math.max(dh, eh)))
+          case (d, e) => d.orElse(e)
+        }
+        range.fold("") { case (lo, hi) =>
+          Iterator.iterate(lo)(_ + interval).takeWhile(_ <= hi + interval / 2).map { k =>
+            s"""{"doc_count":${byKey.getOrElse(k, 0L)},"key":${num(k)}}"""
+          }.mkString(",")
+        }
       }
     s"""{"buckets":[$buckets]}"""
   }

@@ -38,6 +38,21 @@ class AggsSpec extends SparkTestBase {
     assert(off === Seq((5.0, 2L), (25.0, 2L), (45.0, 2L), (65.0, 1L)))
   }
 
+  test("histogram: hard_bounds clips VALUES (closed interval); min_doc_count prunes buckets") {
+    // hard_bounds [20, 40]: values outside dropped before bucketing
+    // (aggregation.md:241-249)
+    val hard = Aggs.histogram(events, col("v"), interval = 20.0,
+        hardBounds = Some((20.0, 40.0)))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(hard.forall { case (k, _) => k >= 20.0 && k <= 40.0 })
+    assert(hard.map(_._2).sum ==
+      events.filter(col("v") >= 20.0 && col("v") <= 40.0).count())
+    // min_doc_count 2 drops the 1-doc bucket at key 60
+    val pruned = Aggs.histogram(events, col("v"), interval = 20.0, minDocCount = 2L)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(pruned === Seq((0.0, 2L), (20.0, 2L), (40.0, 2L)))
+  }
+
   test("date_histogram: fixed_interval 1d buckets") {
     val out = Aggs.dateHistogram(events, col("ts"), "1d")
       .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq

@@ -105,6 +105,29 @@ class EsAggResponseSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("histogram extended_bounds widen the gap-fill; min_doc_count > 0 disables it") {
+    val frame = Aggs.histogram(docs.filter(col("response").isNotNull), col("response"), 50.0)
+      .collect().toSeq
+    // extended_bounds [-50, 200] force empty edge buckets; data range only
+    // reached 0..100 (aggregation.md:266-289)
+    val widened = parsed(EsAggResponse.response(Seq("m" ->
+      EsAggResponse.histogram(frame, 50.0, extendedBounds = Some((-50.0, 200.0))))))
+    val want = parsed(
+      """{"aggregations":{"m":{"buckets":[
+        |{"doc_count":0,"key":-50.0},{"doc_count":4,"key":0.0},{"doc_count":0,"key":50.0},
+        |{"doc_count":3,"key":100.0},{"doc_count":0,"key":150.0},{"doc_count":0,"key":200.0}]}}}""".stripMargin)
+    assert(widened === want)
+    // bounds NARROWER than the data range have no effect ("can only extend")
+    assert(EsAggResponse.histogram(frame, 50.0, extendedBounds = Some((50.0, 50.0)))
+      === EsAggResponse.histogram(frame, 50.0))
+    // min_doc_count > 0: no gap-filling, interior empty bucket disappears
+    assert(EsAggResponse.histogram(frame, 50.0, minDocCount = 1L) ===
+      """{"buckets":[{"doc_count":4,"key":0.0},{"doc_count":3,"key":100.0}]}""")
+    // the combination the reference forbids
+    intercept[IllegalArgumentException](
+      EsAggResponse.histogram(frame, 50.0, minDocCount = 1L, extendedBounds = Some((0.0, 1.0))))
+  }
+
   test("percentiles bodies (keyed and non-keyed)") {
     // sketch-specific golden VALUES (0001-aggregations.yaml percentiles case)
     // are not reproducible outside tantivy's sketch — the SHAPE is pinned.
