@@ -404,6 +404,12 @@ object SparkEntry {
     "a_terms" -> ((s, d) =>
       Aggs.terms(t(s, d, "events"), col("event_type"), size = 3)),
 
+    // terms ordered by _key asc with min_doc_count filtering
+    // (aggregation.md:542-560); dropped terms flow into sum_other_doc_count
+    "a_terms_order" -> ((s, d) =>
+      Aggs.terms(t(s, d, "events"), col("event_type"), size = 3,
+        minDocCount = 2L, orderTarget = "_key", orderAsc = true)),
+
     // histogram with tantivy's hard_bounds (closed-interval value clip) and
     // min_doc_count bucket pruning (aggregation.md:237-249)
     "a_histogram_bounds" -> ((s, d) =>
@@ -1487,6 +1493,16 @@ object SparkEntry {
     "a_histogram" ->
       """SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS key, CAST(count(*) AS BIGINT) AS doc_count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_terms_order" ->
+      """WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(doc_count) AS BIGINT) AS total FROM c),
+        |k AS (SELECT key, doc_count FROM c WHERE doc_count >= 2
+        |      ORDER BY key ASC LIMIT 3)
+        |SELECT key, doc_count,
+        |  (SELECT total FROM t) - CAST(sum(doc_count) OVER () AS BIGINT) AS sum_other_doc_count
+        |FROM k""".stripMargin,
 
     "a_histogram_bounds" ->
       """SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS key, CAST(count(*) AS BIGINT) AS doc_count

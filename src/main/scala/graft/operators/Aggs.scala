@@ -14,16 +14,31 @@ object Aggs {
   /** `terms` bucket agg: top-`size` keys by doc count (desc, key asc tie),
     * plus `sum_other_doc_count` = docs outside the returned buckets
     * (aggregation.md:88-95). */
-  def terms(df: DataFrame, key: Column, size: Int): DataFrame = {
+  def terms(df: DataFrame, key: Column, size: Int,
+            minDocCount: Long = 1L,
+            orderTarget: String = "_count", orderAsc: Boolean = false): DataFrame = {
     // One aggregation job, not three: rollup computes per-key counts AND the
     // grand-total row in a single two-phase HashAggregate (grouping_id tells
     // them apart, so genuine null keys are safe); the total row broadcasts
     // onto the TakeOrdered top-k, and the kept-sum window runs over ≤ size
     // rows. No driver-synchronized count()/collect() scans.
+    //
+    // `min_doc_count` (default 1, aggregation.md:542-547) filters terms
+    // below the threshold — they fall into sum_other_doc_count, same as
+    // terms cut by `size`. `order` targets `_count` or `_key`
+    // (aggregation.md:549-560); the ES default is count desc with the key
+    // asc tiebreak. Ordering by a metric sub-aggregation composes the same
+    // TakeOrdered over the sub-agg frame (see `a_sub_agg`).
     val g = df.rollup(key.as("key"))
       .agg(count(lit(1)).as("doc_count"), grouping_id().as("_gid"))
-    val top = g.filter(col("_gid") === 0)
-      .orderBy(desc("doc_count"), asc("key")).limit(size)
+    val ordering = orderTarget match {
+      case "_count" =>
+        if (orderAsc) Seq(asc("doc_count"), asc("key")) else Seq(desc("doc_count"), asc("key"))
+      case "_key" => Seq(if (orderAsc) asc("key") else desc("key"))
+      case other => throw new IllegalArgumentException(s"unknown terms order target `$other`")
+    }
+    val top = g.filter(col("_gid") === 0 && col("doc_count") >= minDocCount)
+      .orderBy(ordering: _*).limit(size)
     val total = g.filter(col("_gid") === 1).select(col("doc_count").as("_total"))
     val keptW = Window.partitionBy(col("_total")) // one group (≤ size rows)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -69,11 +84,21 @@ object Aggs {
     * rest-api-tests/scenarii/aggregations/0001-aggregations.yaml:1-20).
     * Docs with a missing date are excluded, per ES. */
   def dateHistogram(df: DataFrame, ts: Column, fixedInterval: String,
-                    offset: String = "0ms"): DataFrame =
-    df.filter(ts.isNotNull)
+                    offset: String = "0ms",
+                    minDocCount: Long = 0L,
+                    hardBounds: Option[(Long, Long)] = None): DataFrame = {
+    // same hard_bounds/min_doc_count semantics as histogram
+    // (aggregation.md:379-386); bounds are epoch-µs, closed interval
+    val micros = unix_micros(ts.cast("timestamp_ltz"))
+    val clipped = hardBounds.fold(df.filter(ts.isNotNull)) { case (lo, hi) =>
+      df.filter(ts.isNotNull && micros >= lo && micros <= hi)
+    }
+    val agg = clipped
       .groupBy(dateHistogramKey(ts, fixedInterval, offset).as("key"))
       .agg(count(lit(1)).as("doc_count"))
+    (if (minDocCount > 1L) agg.filter(col("doc_count") >= minDocCount) else agg)
       .orderBy("key")
+  }
 
   def intervalMicros(fixedInterval: String): Long = {
     val m = "(-?)([0-9]+)(ms|s|m|h|d)".r

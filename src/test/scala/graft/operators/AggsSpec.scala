@@ -29,6 +29,34 @@ class AggsSpec extends SparkTestBase {
     assert(out.forall(_.getLong(2) === 2L)) // c + d left out
   }
 
+  test("terms: min_doc_count filter and _key/_count order targets") {
+    // events fixture: a×3, b×2, c×1, d×1 (7 docs)
+    val keyAsc = Aggs.terms(events, col("k"), size = 2,
+        minDocCount = 2L, orderTarget = "_key", orderAsc = true).collect()
+    assert(keyAsc.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 3L), ("b", 2L)))
+    // min_doc_count-dropped c/d count toward sum_other like size-cut terms
+    assert(keyAsc.forall(_.getLong(2) === 2L))
+    val countAsc = Aggs.terms(events, col("k"), size = 2,
+        orderTarget = "_count", orderAsc = true).collect()
+    assert(countAsc.map(_.getString(0)).toSeq === Seq("c", "d")) // ties → key asc
+    assert(countAsc.forall(_.getLong(2) === 5L))
+    intercept[IllegalArgumentException](
+      Aggs.terms(events, col("k"), 2, orderTarget = "avg_price"))
+  }
+
+  test("date_histogram: hard_bounds (epoch-µs, closed) and min_doc_count") {
+    // bounds cover only 2024-01-02 (µs): that day's 2 docs remain
+    val lo = java.time.Instant.parse("2024-01-02T00:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-02T23:59:59Z").toEpochMilli * 1000L
+    val out = Aggs.dateHistogram(events, col("ts"), "1d", hardBounds = Some((lo, hi)))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(out === Seq((ts("2024-01-02 00:00:00"), 2L)))
+    // min_doc_count 2 prunes 1-doc day buckets
+    val pruned = Aggs.dateHistogram(events, col("ts"), "1d", minDocCount = 2L)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pruned.forall(_ >= 2L))
+  }
+
   test("histogram: floor((v - offset)/interval)*interval + offset buckets") {
     val out = Aggs.histogram(events, col("v"), interval = 20.0)
       .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
