@@ -463,6 +463,27 @@ object SparkEntry {
         rankOk(0.95, 1).as("p95_ok"))
     }),
 
+    "a_percentiles_sketch" -> ((s, d) => {
+      // DDSketch percentiles — the ACTUAL estimator behind the reference's
+      // `percentiles` aggregation (tantivy → sketches_ddsketch, bit-exact
+      // per the EsAggsSpec goldens). Unlike percentile_approx's opaque
+      // picks, the DDSketch estimate is a pure closed form over log-bucket
+      // counts, so DuckDB mirrors the whole computation: key =
+      // ceil(ln(v)/γln), cumulative-count walk to rank floor(q·(n−1)),
+      // estimate 2·exp(k·γln)/(1+γ). Distributed shape: one groupBy of
+      // (role, bin) pairs, windows only over per-role BIN histograms.
+      val tr = transcripts(s, d).filter(col("text").isNotNull)
+      val v = length(col("text")).cast("double")
+      val p50 = operators.DdSketch.quantileByGroup(tr, col("role"), v, 0.5)
+        .withColumnRenamed("value", "p50")
+      val p95 = operators.DdSketch.quantileByGroup(tr, col("role"), v, 0.95)
+        .withColumnRenamed("value", "p95")
+      p50.join(p95, "grp")
+        .select(col("grp").as("role"), round(col("p50"), 4).as("p50"),
+                round(col("p95"), 4).as("p95"))
+        .orderBy("role")
+    }),
+
     "a_cardinality" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("user_cardinality"))
@@ -1994,6 +2015,28 @@ object SparkEntry {
 
     "a_percentiles_approx" ->
       "SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS p50_ok, TRUE AS p95_ok FROM events",
+
+    "a_percentiles_sketch" -> (TranscriptsCte + {
+      // the exact doubles the Scala side uses, embedded via toString
+      // (shortest-round-trip: DuckDB parses back the identical f64)
+      val gl = operators.DdSketch.GammaLn
+      val g = operators.DdSketch.Gamma
+      s""", k AS (
+         |  SELECT role, CAST(ceil(ln(CAST(length(text) AS DOUBLE)) / $gl) AS INT) AS key
+         |  FROM transcripts WHERE text IS NOT NULL),
+         |kc AS (SELECT role, key, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1, 2),
+         |cum AS (SELECT role, key,
+         |               sum(c) OVER (PARTITION BY role ORDER BY key) AS cum,
+         |               sum(c) OVER (PARTITION BY role) AS n
+         |        FROM kc),
+         |pick50 AS (SELECT role, min(key) AS key FROM cum WHERE cum > floor(0.5 * (n - 1)) GROUP BY role),
+         |pick95 AS (SELECT role, min(key) AS key FROM cum WHERE cum > floor(0.95 * (n - 1)) GROUP BY role)
+         |SELECT p50.role AS role,
+         |       round(2.0 * exp(p50.key * $gl) / (1.0 + $g), 4) AS p50,
+         |       round(2.0 * exp(p95.key * $gl) / (1.0 + $g), 4) AS p95
+         |FROM pick50 p50 JOIN pick95 p95 ON p50.role = p95.role
+         |ORDER BY role""".stripMargin
+    }),
 
     "d_minhash_lsh" ->
       """WITH norm AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt FROM documents),

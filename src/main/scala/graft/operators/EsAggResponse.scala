@@ -15,7 +15,7 @@ import org.apache.spark.sql.Row
   */
 object EsAggResponse {
 
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -23,7 +23,7 @@ object EsAggResponse {
     } + "\""
 
   /** ES renders numeric keys as JSON doubles (1420070400000.0). */
-  private def num(d: Double): String =
+  private[graft] def num(d: Double): String =
     if (d.isWhole && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
 
   private def keyJson(k: Any): String = k match {
@@ -120,11 +120,25 @@ object EsAggResponse {
     * excluded by the aggregation, per ES). */
   def stats(r: Row): String = {
     val count = r.getAs[Long]("count")
-    if (count == 0L) """{"avg":null,"count":0,"max":null,"min":null,"sum":0.0}"""
-    else
-      s"""{"avg":${num(r.getAs[Double]("avg"))},"count":$count,"max":${num(r.getAs[Double]("max"))},""" +
-        s""""min":${num(r.getAs[Double]("min"))},"sum":${num(r.getAs[Double]("sum"))}}"""
+    if (count == 0L) statsValues(0L, None, None, 0.0, None)
+    else statsValues(count, Some(r.getAs[Double]("min")), Some(r.getAs[Double]("max")),
+      r.getAs[Double]("sum"), Some(r.getAs[Double]("avg")))
   }
+
+  /** stats body from explicit values (used by the request compiler, whose
+    * grouped frames carry prefixed metric columns). */
+  def statsValues(count: Long, mn: Option[Double], mx: Option[Double],
+                  sm: Double, av: Option[Double]): String = {
+    def opt(v: Option[Double]) = v.map(num).getOrElse("null")
+    s"""{"avg":${opt(av)},"count":$count,"max":${opt(mx)},"min":${opt(mn)},"sum":${num(sm)}}"""
+  }
+
+  /** Single-value metric body (`avg`/`min`/`max`/`sum`): {"value": x|null}. */
+  def singleValue(v: Option[Double]): String =
+    s"""{"value":${v.map(num).getOrElse("null")}}"""
+
+  /** value_count body — ES renders the count as an integer. */
+  def valueCount(n: Long): String = s"""{"value":$n}"""
 
   /** percentiles body: keyed (object) or non-keyed (key/value array) form. */
   def percentiles(percents: Seq[Double], values: Seq[Double], keyed: Boolean): String =

@@ -16,6 +16,12 @@ object EsDsl {
   def parse(json: String, defaultFields: Seq[String] = Seq("text")): QueryAst =
     node(Json.parse(json), defaultFields)
 
+  /** Entry for callers that already hold a parsed JSON tree (e.g. the
+    * aggregation-request compiler, which parses the full `_search` body
+    * once and hands the `query` subtree here). */
+  def fromParsed(v: Any, defaultFields: Seq[String] = Seq("text")): QueryAst =
+    node(v, defaultFields)
+
   private type Obj = Map[String, Any]
 
   private def node(v: Any, df: Seq[String]): QueryAst = {
