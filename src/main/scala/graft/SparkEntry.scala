@@ -1153,6 +1153,28 @@ object SparkEntry {
         .groupBy("role").agg(count(lit(1)).as("n_docs"))
     }),
 
+    "s_time_pruned_scan" -> ((s, d) => {
+      import graft.queryast.QueryAst
+      val dir = java.nio.file.Files.createTempDirectory("graft-tsscan").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      // same deterministic slice rationale as s_tag_pruned_scan
+      val tr = transcripts(s, d).filter(col("turn_idx") < 5)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      val cut = lit("2024-01-16").cast("timestamp")
+      table.append(tr.filter(col("ts") < cut), delta(-1, 1), numFiles = 1)
+      table.append(tr.filter(col("ts") >= cut), delta(1, 2), numFiles = 2)
+      // NO explicit start/end: the bound is implied by the query AST alone
+      // (refine_start_end_timestamp_from_ast, root.rs:1034) — the early
+      // file group's [min_ts, max_ts] is disjoint and never opened
+      val q = QueryAst.Bool(filterQ =
+        Seq(QueryAst.Range("ts", gte = Some("2024-01-16T00:00:00Z"))))
+      table.scan(query = Some(q))
+        .filter(q.toColumn(FieldResolver(Set.empty, Nil)))
+        .groupBy("role").agg(count(lit(1)).as("n_docs"), min(col("ts")).as("first_ts"))
+        .orderBy("role")
+    }),
+
     // ---- list_fields / field caps (§2.11): schema introspection ----------
     "s_list_fields" -> ((s, d) => {
       import s.implicits._
@@ -2109,6 +2131,11 @@ object SparkEntry {
     "s_tag_pruned_scan" -> (TranscriptsCte +
       """SELECT role, CAST(count(*) AS BIGINT) AS n_docs
         |FROM transcripts WHERE role = 'tool' AND turn_idx < 5 GROUP BY role""".stripMargin),
+
+    "s_time_pruned_scan" -> (TranscriptsCte +
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_docs, min(ts) AS first_ts
+        |FROM transcripts WHERE turn_idx < 5 AND ts >= TIMESTAMP '2024-01-16'
+        |GROUP BY role ORDER BY role""".stripMargin),
 
     "sim_ann_brute" -> AnnExactTopKSql,
     "sim_ann_lsh" -> AnnExactTopKSql,

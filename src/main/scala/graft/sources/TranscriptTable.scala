@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.model.Turn
 import graft.publish.{Checkpoint, Manifest}
-import graft.queryast.{QueryAst, TagPruning}
+import graft.queryast.{QueryAst, TagPruning, TimestampPruning}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -96,20 +96,30 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
   /** Scan with metadata-level pruning: only files overlapping
     * [startMicros, endMicros) whose tag sets may match `query` are read
     * (time pruning: root.rs:1037-1052; tag pruning: tag_pruning.rs:40-160
-    * via [[graft.queryast.TagPruning]]). Returns an empty frame when the
-    * manifest prunes everything (the count-from-metadata fast path's
-    * cousin). Pruning never changes results — the query predicate must still
-    * be applied to the scanned rows. */
+    * via [[graft.queryast.TagPruning]]). The explicit window is first
+    * NARROWED by bounds the query AST itself implies on `tsField`
+    * (root.rs:1034 `refine_start_end_timestamp_from_ast`, via
+    * [[graft.queryast.TimestampPruning]]) — a bare
+    * `ts:[2024-01-01 TO *]` query prunes like an explicit start_timestamp.
+    * Returns an empty frame when the manifest prunes everything (the
+    * count-from-metadata fast path's cousin). Pruning never changes
+    * results — the query predicate must still be applied to the scanned
+    * rows. */
   def scan(startMicros: Option[Long] = None, endMicros: Option[Long] = None,
            query: Option[QueryAst] = None,
-           tagFields: Set[String] = Set.empty): DataFrame = {
+           tagFields: Set[String] = Set.empty,
+           tsField: String = "ts"): DataFrame = {
     val snap = store.currentSnapshot()
       .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
     val tagFilter = query.map(q => TagPruning.extract(q, tagFields))
+    val (startUs, endUs) = query match {
+      case Some(q) => TimestampPruning.refine(q, tsField, startMicros, endMicros)
+      case None    => (startMicros, endMicros)
+    }
     val files = snap.splits
       .filter { s =>
-        startMicros.forall(s.timeRangeEndMicros >= _) &&
-          endMicros.forall(s.timeRangeStartMicros < _) &&
+        startUs.forall(s.timeRangeEndMicros >= _) &&
+          endUs.forall(s.timeRangeStartMicros < _) &&
           tagFilter.forall(TagPruning.mayMatch(_, s.tags.toSet))
       }
       .flatMap(_.files)
