@@ -410,6 +410,16 @@ object SparkEntry {
       Aggs.terms(t(s, d, "events"), col("event_type"), size = 3,
         minDocCount = 2L, orderTarget = "_key", orderAsc = true)),
 
+    // distributed terms with leaf truncation at split_size and
+    // show_term_doc_count_error bounds (aggregation.md:495-534). split is a
+    // deterministic event_id partition so the oracle mirrors the protocol
+    // hash-exactly: split_size=5 per split, top-10 merge, per-bucket
+    // err_upper = cutoffs of non-reporting splits.
+    "a_terms_distributed" -> ((s, d) =>
+      Aggs.termsDistributed(t(s, d, "events"),
+        split = pmod(col("event_id"), lit(4)), key = col("user_id"),
+        size = 10, splitSize = 5)),
+
     // histogram with tantivy's hard_bounds (closed-interval value clip) and
     // min_doc_count bucket pruning (aggregation.md:237-249)
     "a_histogram_bounds" -> ((s, d) =>
@@ -658,6 +668,19 @@ object SparkEntry {
         col("doc_id"), col("tokens"), struct(col("lang"), col("source")), n = 1, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("doc_id1", "doc_id2")),
+
+    // pair detection → CLUSTERS: connected components over the verified
+    // jaccard pairs, canonical rep = min doc id per component. The oracle
+    // mirrors min-label propagation with unrolled rounds (components from
+    // prefix-filtered pair generation are near-cliques; 8 rounds covers
+    // diameter 8, and the Spark side THROWS if genuinely unconverged).
+    "d_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, d, "documents").withColumn("tokens", array_distinct(Tokenizers.default(col("text")))),
+        col("doc_id"), col("tokens"), struct(col("lang"), col("source")),
+        n = 1, threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
 
     "d_minhash_lsh" -> ((s, d) =>
       // LSH candidate generation + exact shingle-Jaccard verify: the output
@@ -1082,6 +1105,16 @@ object SparkEntry {
     "s_search_stream" -> ((s, d) =>
       t(s, d, "events").filter(col("event_type") === "click").select("user_id")),
 
+    // ClickHouseRowBinary export (search_stream/mod.rs:103-113; dates as
+    // i64 µs, leaf.rs:242-243): the codegen'd LE encoding checked byte-for-
+    // byte — the oracle rebuilds the hex of each little-endian byte.
+    "s_search_stream_binary" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("event_id"),
+          hex(operators.SearchStream.leBytes(
+            unix_micros(col("ts").cast("timestamp_ltz")))).as("ts_le_hex"))
+        .orderBy("event_id")),
+
     // ---- embedding-cosine near-dup (exact; LSH path = sim_ann_lsh) -------
     "d_embed_cosine" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1157,8 +1190,11 @@ object SparkEntry {
       import graft.queryast.QueryAst
       val dir = java.nio.file.Files.createTempDirectory("graft-tsscan").toString
       val table = new graft.sources.TranscriptTable(dir, s)
-      // same deterministic slice rationale as s_tag_pruned_scan
-      val tr = transcripts(s, d).filter(col("turn_idx") < 5)
+      // deterministic UNIFORM slice (same cost rationale as
+      // s_tag_pruned_scan, but uniform over TIME — turn_idx<5 would put
+      // every row before the cut and make the query vacuously 0=0)
+      val tr = transcripts(s, d)
+        .filter(pmod(unix_micros(col("ts").cast("timestamp_ltz")), lit(4L)) === 0L)
       def delta(from: Long, to: Long) =
         graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
       val cut = lit("2024-01-16").cast("timestamp")
@@ -1213,6 +1249,21 @@ object SparkEntry {
     }),
 
     // ---- janitor: retention policy over split metadata -------------------
+    // CLI `index describe` (IndexStats + DescriptiveStats,
+    // quickwit-cli/src/index.rs:539-875): totals, timestamp range, and the
+    // per-split doc/byte distribution stats over a per-conversation split
+    // metastore.
+    "m_describe_index" -> ((s, d) => {
+      val splits = transcripts(s, d).filter(col("text").isNotNull)
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("num_docs"),
+          sum(octet_length(col("text"))).cast("long").as("bytes"),
+          unix_micros(min(col("ts")).cast("timestamp_ltz")).as("ts_min"),
+          unix_micros(max(col("ts")).cast("timestamp_ltz")).as("ts_max"))
+      graft.publish.DescribeIndex.stats(splits,
+        col("num_docs"), col("bytes"), col("ts_min"), col("ts_max"))
+    }),
+
     "m_retention" -> ((s, d) => {
       val stats = queries("pipe_split_stats")(s, d)
       // retention: drop splits whose whole time range ended before cutoff
@@ -1547,6 +1598,24 @@ object SparkEntry {
         |  (SELECT total FROM t) - CAST(sum(doc_count) OVER () AS BIGINT) AS sum_other_doc_count
         |FROM k""".stripMargin,
 
+    "a_terms_distributed" ->
+      """WITH ps AS (SELECT event_id % 4 AS split, user_id AS key, count(*) AS cnt
+        |            FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY split ORDER BY cnt DESC, key ASC) AS rn
+        |           FROM ps),
+        |kept AS (SELECT * FROM ranked WHERE rn <= 5),
+        |cut AS (SELECT split, max(cnt) AS cutoff FROM ranked WHERE rn > 5 GROUP BY split),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ps),
+        |totcut AS (SELECT COALESCE(CAST(sum(cutoff) AS BIGINT), 0) AS tc FROM cut),
+        |merged AS (SELECT k.key, CAST(sum(k.cnt) AS BIGINT) AS doc_count,
+        |                  CAST(sum(COALESCE(c.cutoff, 0)) AS BIGINT) AS seen_cut
+        |           FROM kept k LEFT JOIN cut c USING (split) GROUP BY k.key
+        |           ORDER BY doc_count DESC, key ASC LIMIT 10)
+        |SELECT key, doc_count,
+        |  (SELECT tc FROM totcut) - seen_cut AS err_upper,
+        |  (SELECT total FROM tot) - CAST(sum(doc_count) OVER () AS BIGINT) AS sum_other_doc_count
+        |FROM merged ORDER BY doc_count DESC, key ASC""".stripMargin,
+
     "a_histogram_bounds" ->
       """SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS key, CAST(count(*) AS BIGINT) AS doc_count
         |FROM events WHERE value >= 50.0 AND value <= 300.0
@@ -1692,6 +1761,38 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON doc_id1 = s1.doc_id JOIN sizes s2 ON doc_id2 = s2.doc_id
         |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8
         |ORDER BY doc_id1, doc_id2""".stripMargin,
+
+    "d_dup_clusters" -> {
+      val pairsCte =
+        """WITH toks AS (
+          |  SELECT DISTINCT doc_id, lang, source, token FROM (
+          |    SELECT doc_id, lang, source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+          |    FROM documents) WHERE token <> ''),
+          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, CAST(count(*) AS BIGINT) AS i
+          |  FROM toks a JOIN toks b
+          |    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS MATERIALIZED (
+          |  SELECT doc_id1, doc_id2 FROM inter
+          |  JOIN sizes s1 ON doc_id1 = s1.doc_id JOIN sizes s2 ON doc_id2 = s2.doc_id
+          |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+          |edges AS MATERIALIZED (
+          |  SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+          |  UNION SELECT doc_id2, doc_id1 FROM pairs
+          |  UNION SELECT doc_id1, doc_id1 FROM pairs   -- self-loops: min over
+          |  UNION SELECT doc_id2, doc_id2 FROM pairs), -- nbrs includes own rep
+          |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS rep FROM edges)""".stripMargin
+      // one reference to the previous level per round (self-loops carry the
+      // node's own rep), keeping the inlined-CTE plan LINEAR in rounds
+      val rounds = (1 to 8).map(k =>
+        s""",
+           |l$k AS MATERIALIZED (
+           |  SELECT e.a AS node, min(n.rep) AS rep
+           |  FROM edges e JOIN l${k - 1} n ON n.node = e.b GROUP BY e.a)""".stripMargin).mkString
+      pairsCte + rounds + "\nSELECT node AS doc_id, rep FROM l8 ORDER BY doc_id"
+    },
 
     "x_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1873,6 +1974,18 @@ object SparkEntry {
     "s_search_stream" ->
       "SELECT user_id FROM events WHERE event_type = 'click'",
 
+    "s_search_stream_binary" ->
+      """SELECT event_id, upper(
+        |  lpad(to_hex((epoch_us(ts)) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 8) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 16) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 24) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 32) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 40) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 48) & 255), 2, '0') ||
+        |  lpad(to_hex((epoch_us(ts) >> 56) & 255), 2, '0')) AS ts_le_hex
+        |FROM events WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
     "p_input_expand" ->
       """SELECT event_id, CAST(s AS INT) AS span_idx,
         |  CAST(event_id AS VARCHAR) || '#' || CAST(s AS VARCHAR) AS span_id
@@ -1890,6 +2003,32 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
         |WHERE NOT (lang = 'fr' AND source = 'src2')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "m_describe_index" -> (TranscriptsCte +
+      """, splits AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS num_docs,
+        |         CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+        |         epoch_us(min(ts)) AS ts_min, epoch_us(max(ts)) AS ts_max
+        |  FROM transcripts WHERE text IS NOT NULL GROUP BY conv_id)
+        |SELECT CAST(count(*) AS BIGINT) AS num_splits,
+        |  CAST(sum(num_docs) AS BIGINT) AS num_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS num_bytes,
+        |  min(ts_min) AS ts_min, max(ts_max) AS ts_max,
+        |  round(avg(num_docs), 4) AS docs_mean,
+        |  round(stddev_pop(num_docs), 4) AS docs_std,
+        |  round(quantile_cont(num_docs, 0.01), 4) AS docs_q1,
+        |  round(quantile_cont(num_docs, 0.25), 4) AS docs_q25,
+        |  round(quantile_cont(num_docs, 0.50), 4) AS docs_q50,
+        |  round(quantile_cont(num_docs, 0.75), 4) AS docs_q75,
+        |  round(quantile_cont(num_docs, 0.99), 4) AS docs_q99,
+        |  round(avg(bytes), 4) AS bytes_mean,
+        |  round(stddev_pop(bytes), 4) AS bytes_std,
+        |  round(quantile_cont(bytes, 0.01), 4) AS bytes_q1,
+        |  round(quantile_cont(bytes, 0.25), 4) AS bytes_q25,
+        |  round(quantile_cont(bytes, 0.50), 4) AS bytes_q50,
+        |  round(quantile_cont(bytes, 0.75), 4) AS bytes_q75,
+        |  round(quantile_cont(bytes, 0.99), 4) AS bytes_q99
+        |FROM splits""".stripMargin),
 
     "m_retention" -> (TranscriptsCte +
       """, tr AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 8 AS partition_id
@@ -2134,7 +2273,7 @@ object SparkEntry {
 
     "s_time_pruned_scan" -> (TranscriptsCte +
       """SELECT role, CAST(count(*) AS BIGINT) AS n_docs, min(ts) AS first_ts
-        |FROM transcripts WHERE turn_idx < 5 AND ts >= TIMESTAMP '2024-01-16'
+        |FROM transcripts WHERE epoch_us(ts) % 4 = 0 AND ts >= TIMESTAMP '2024-01-16'
         |GROUP BY role ORDER BY role""".stripMargin),
 
     "sim_ann_brute" -> AnnExactTopKSql,

@@ -47,6 +47,64 @@ object Aggs {
       .select("key", "doc_count", "sum_other_doc_count")
   }
 
+  /** Distributed `terms` with the reference's leaf-truncation error
+    * protocol (aggregation.md:495-534): each split returns only its top
+    * `split_size` terms (ES default `size * 1.5 + 10`), the root merges the
+    * truncated lists, and `show_term_doc_count_error` exposes
+    * `doc_count_error_upper_bound` per returned bucket.
+    *
+    * Error accounting, per the doc's definition ("the sum of the size of
+    * the largest bucket on each split that didn't fit into split_size"):
+    * cutoff_s = the largest DROPPED bucket of split s (0 when nothing was
+    * dropped — unlike ES, which only knows the smallest RETURNED count,
+    * each leaf here sees its exact dropped sizes). A returned term's
+    * doc_count can only be under-counted by splits that did NOT report it,
+    * so err_upper(term) = Σ cutoff_s over non-reporting splits
+    * = totalCutoff − Σ cutoff_s over reporting splits. `merged doc_count`
+    * sums the reporting splits' exact counts (the approximation the
+    * protocol trades for bounded leaf state).
+    *
+    * Everything is deterministic — per-split ranking ties break by key asc
+    * — so a SQL oracle can mirror the whole computation hash-exactly.
+    *
+    * Scale shape: one shuffle to per-(split, key) counts (map-side
+    * partial), a window over per-split COUNTS (bounded by per-split key
+    * cardinality, never rows), then all remaining frames are ≤ #splits or
+    * ≤ #splits × split_size rows with broadcast totals. This is the whole
+    * point of the protocol at 100 TB: leaf state is capped at split_size
+    * per split regardless of key cardinality. Docs with a null key are
+    * excluded (ES ignores missing values). */
+  def termsDistributed(df: DataFrame, split: Column, key: Column,
+                       size: Int, splitSize: Int): DataFrame = {
+    val perSplit = df.filter(key.isNotNull)
+      .groupBy(split.as("split"), key.as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("split")).orderBy(desc("cnt"), asc("key"))
+    // persist: kept / cutoffs / totals all branch off this one aggregated
+    // frame — without it each branch re-scans and re-aggregates the SOURCE
+    // (3× the dominant cost at scale). The frame is per-(split, key)
+    // counts, already the protocol's reduced state.
+    val ranked = perSplit.withColumn("_rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = ranked.filter(col("_rn") <= splitSize)
+    val cutoffs = ranked.filter(col("_rn") > splitSize)
+      .groupBy(col("split")).agg(max(col("cnt")).as("cutoff"))
+    val totals = ranked.agg(sum(col("cnt")).as("_total")) // grand total docs
+    val totCut = cutoffs.agg(coalesce(sum(col("cutoff")), lit(0L)).as("_totcut"))
+    val merged = kept.join(broadcast(cutoffs), Seq("split"), "left")
+      .groupBy(col("key"))
+      .agg(sum(col("cnt")).as("doc_count"),
+           sum(coalesce(col("cutoff"), lit(0L))).as("_seen_cut"))
+      .orderBy(desc("doc_count"), asc("key")).limit(size)
+    val keptW = Window.partitionBy(col("_total")) // one group (≤ size rows)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged.crossJoin(broadcast(totals)).crossJoin(broadcast(totCut))
+      .withColumn("err_upper", col("_totcut") - col("_seen_cut"))
+      .withColumn("sum_other_doc_count", col("_total") - sum("doc_count").over(keptW))
+      .select("key", "doc_count", "err_upper", "sum_other_doc_count")
+      .orderBy(desc("doc_count"), asc("key"))
+  }
+
   /** `histogram`: bucket = floor((v - offset) / interval) * interval + offset
     * (aggregation.md:124-160). Empty buckets are not materialized
     * (min_doc_count=1 semantics; ES default 0 fills gaps — presentation-side). */

@@ -331,4 +331,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_id1", "doc_id2", "jaccard")
   }
+
+  /** Connected components over a dup-pair graph — the step between pair
+    * detection (minhash/simhash/jaccard) and actual deduplication: pairs
+    * are transitive evidence, so keep-one-per-cluster needs the component,
+    * not the pair. Min-label propagation to a fixpoint: every node's label
+    * converges to the smallest doc id reachable through pairs (that id IS
+    * the cluster's canonical representative — deterministic, no
+    * tie-breaking). Returns (doc_id, rep); nodes touching no pair are not
+    * emitted (they are their own singletons — callers left-join).
+    *
+    * Scale shape: per round, ONE shuffle — edges ⋈ labels on the node key,
+    * then a min-aggregate; both frames are O(pairs), tiny next to the
+    * corpus. Rounds = component diameter; near-dup components from
+    * banded/prefix-filtered pair generation are near-cliques (diameter
+    * 2-3), so 3-4 rounds converge. The loop detects convergence with an
+    * isEmpty probe and THROWS past maxIter rather than returning a
+    * silently-unconverged labeling. O(log n) star-contraction algorithms
+    * (Kiveris et al., "Connected Components in MapReduce") only win on
+    * long-chain graphs dedup never produces. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id1").as("a"), col("doc_id2").as("b"))
+      .union(pairs.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("rep", col("node")).persist()
+    try {
+      var it = 0
+      while (it < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("b"), col("rep").as("_nr")), "b")
+          .groupBy(col("a").as("node")).agg(min(col("_nr")).as("_nbr"))
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("rep"), coalesce(col("_nbr"), col("rep"))).as("rep"))
+          .persist()
+        val converged = next.join(labels.withColumnRenamed("rep", "_old"), "node")
+          .filter(col("rep") =!= col("_old")).isEmpty
+        labels.unpersist()
+        labels = next
+        if (converged)
+          return labels.select(col("node").as("doc_id"), col("rep"))
+        it += 1
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds the bound — raise maxIter)")
+    } finally edges.unpersist()
+  }
+
+  /** Keep-one-per-cluster materialization: drop every doc whose cluster
+    * representative is a different (smaller) doc id; docs in no pair keep
+    * themselves. Left-anti on the loser id set — deliberately NOT forced
+    * to broadcast: at web scale the dup fraction can be 30%+, so the loser
+    * set scales with the corpus; AQE picks broadcast when it is small. */
+  def dedupByClusters(docs: DataFrame, id: Column, components: DataFrame): DataFrame = {
+    val losers = components.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("_loser"))
+    docs.join(losers, id === col("_loser"), "left_anti")
+  }
 }

@@ -66,15 +66,25 @@ object QualityFilters {
     * Input must have (docId, text); output (docId, covered_chars, n_chars).
     */
   def topBigramCover(df: DataFrame, docId: String, text: String): DataFrame = {
-    val exploded = df
-      .select(col(docId), length(col(text)).cast("long").as("n_chars"),
-        explode(bigrams(col(text))).as("gram"))
-    exploded
-      .groupBy(col(docId), col("n_chars"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(docId), col("n_chars"))
-      .agg(max(col("cnt") * length(col("gram")).cast("long")).as("covered_chars"))
-      .select(col(docId), col("covered_chars"), col("n_chars"))
+    // Entirely per-document, so NO shuffle: sort the doc's bigram array and
+    // fold over it counting equal-neighbor runs, keeping max(run × len).
+    // The previous form exploded every bigram through two full shuffles —
+    // at scale that moved ~2 string grams per word across the cluster for
+    // what is a per-row scalar. State: (prev gram, run length, best cover).
+    val gs = array_sort(bigrams(col(text)))
+    val folded = aggregate(
+      gs,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run * length(g).cast("long")).as("best"))
+      },
+      st => st.getField("best"))
+    df.select(col(docId), folded.as("covered_chars"),
+      length(col(text)).cast("long").as("n_chars"))
+      .filter(col("covered_chars") > 0L) // <2-word docs have no bigrams (as before)
   }
 
   // ---- Gopher word-level quality rules (A.1.2) ---------------------------

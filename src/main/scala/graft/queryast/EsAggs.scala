@@ -46,7 +46,8 @@ object EsAggs {
   sealed trait Agg
   sealed trait Bucket extends Agg
   final case class Terms(field: String, size: Int, minDocCount: Long,
-                         orderTarget: String, orderAsc: Boolean) extends Bucket
+                         orderTarget: String, orderAsc: Boolean,
+                         showError: Boolean = false) extends Bucket
   final case class Histogram(field: String, interval: Double, offset: Double,
                              minDocCount: Long,
                              hardBounds: Option[(Double, Double)],
@@ -98,7 +99,13 @@ object EsAggs {
             val (t, dir) = o.asInstanceOf[Obj].head
             (t, dir == "asc")
           }.getOrElse(("_count", false))
-          Terms(fld, dbl("size", 10).toInt, dbl("min_doc_count", 1).toLong, target, asc)
+          // split_size is an ACCURACY knob for truncated leaves
+          // (aggregation.md:527-532); this engine computes terms exactly
+          // (Aggs.terms rollup), so it is accepted and has no effect —
+          // 0 error bounds are the truthful exact-case values.
+          // show_term_doc_count_error adds the per-bucket bound field.
+          Terms(fld, dbl("size", 10).toInt, dbl("min_doc_count", 1).toLong, target, asc,
+            p.get("show_term_doc_count_error").exists(_.asInstanceOf[Boolean]))
         case "histogram" =>
           def bounds(k: String): Option[(Double, Double)] = p.get(k).map { b =>
             val o = b.asInstanceOf[Obj]
@@ -227,7 +234,7 @@ object EsAggs {
   /** Bucket-key source frame + key expression; working columns are
     * depth-suffixed so nested same-type buckets never collide. */
   private def prepare(df: DataFrame, b: Bucket, depth: Int): (DataFrame, Column) = b match {
-    case Terms(f, _, _, _, _) =>
+    case Terms(f, _, _, _, _, _) =>
       val isArr = df.schema(f).dataType.isInstanceOf[ArrayType]
       val tk = s"_t$depth"
       val d2 = if (isArr) df.withColumn(tk, explode(col(f))) else df.withColumn(tk, col(f))
@@ -280,7 +287,7 @@ object EsAggs {
 
     // terms truncation/order; other buckets keep every non-empty cell
     val (keptFrame, totals: Map[Seq[Any], Long]) = bucket match {
-      case Terms(_, size, minDoc, target, asc) =>
+      case Terms(_, size, minDoc, target, asc, _) =>
         // ONE rollup aggregate computes the per-term cells AND the
         // per-parent totals that sum_other_doc_count needs (same shape as
         // Aggs.terms, VERDICT r1): grouping_id 0 = (parents..., term) cell,
@@ -374,7 +381,7 @@ object EsAggs {
     def key(r: Row): Any = r.getAs[Any](kName)
     def dc(r: Row): Long = r.getAs[Long]("_dc")
     bucket match {
-      case Terms(_, _, _, target, asc) =>
+      case Terms(_, _, _, target, asc, showErr) =>
         val sorted = target match {
           case "_key" =>
             val s = cells.sortBy(key)(keyOrd); if (asc) s else s.reverse
@@ -382,7 +389,8 @@ object EsAggs {
             val s = cells.sortBy(r => (dc(r), key(r)))(Ordering.Tuple2(Ordering.Long, keyOrd))
             if (asc) s else s.reverse
         }
-        val kept = sorted.map(r => s"""{"doc_count":${dc(r)},"key":${keyJson(key(r))}${subsJson(path :+ key(r), r)}}""")
+        val errJ = if (showErr) "\"doc_count_error_upper_bound\":0," else ""
+        val kept = sorted.map(r => s"""{$errJ"doc_count":${dc(r)},"key":${keyJson(key(r))}${subsJson(path :+ key(r), r)}}""")
         val other = totals.getOrElse(path, 0L) - sorted.map(dc).sum
         s"""{"buckets":[${kept.mkString(",")}],"doc_count_error_upper_bound":0,"sum_other_doc_count":$other}"""
 

@@ -87,17 +87,18 @@ object QueryAst {
         case ModeOr =>
           terms.map(t => array_contains(Tokenizers.default(col(field)), t)).reduce(_ || _)
         case ModePhrase(0) =>
-          // adjacency via regex over the normalized token stream — exact for
-          // slop 0 and far cheaper than positional indexes on a scan engine
-          regexp_like(normalizedStream(col(field)),
-            lit(" " + terms.mkString(" ") + " "))
+          // adjacency regex directly on lower(text) — one codegen'd pass,
+          // no token-array build/join (see rawPhraseRegex for fidelity)
+          containsGate(col(field), terms) &&
+            regexp_like(lower(col(field)), lit(rawPhraseRegex(terms, prefix = false)))
         case ModePhrase(slop) =>
           // Lucene/tantivy slop is a TOTAL budget over all gaps, and a
           // transposition costs 2 (query-language.md "Slop Operator",
           // golden examples ibid.). Enumerate gap compositions summing
           // ≤ slop (plus, for 2-term phrases, the transposed order with the
           // residual budget) into one regex alternation.
-          regexp_like(normalizedStream(col(field)), lit(slopRegex(terms, slop)))
+          containsGate(col(field), terms) &&
+            regexp_like(normalizedStream(col(field)), lit(slopRegex(terms, slop)))
       }
     }
   }
@@ -115,8 +116,9 @@ object QueryAst {
       else {
         val clauses =
           terms.init.map(t => array_contains(Tokenizers.default(col(field)), t)) :+
-            regexp_like(normalizedStream(col(field)),
-              lit(" " + terms.last + "[\\p{L}\\p{N}]*"))
+            (contains(lower(col(field)), lit(terms.last)) &&
+              regexp_like(lower(col(field)),
+                lit(rawPhraseRegex(Seq(terms.last), prefix = true))))
         if (andOperator) clauses.reduce(_ && _) else clauses.reduce(_ || _)
       }
     }
@@ -127,8 +129,8 @@ object QueryAst {
     def toColumn(r: FieldResolver): Column = {
       val terms = tokenizeQuery(text)
       if (terms.isEmpty) lit(true)
-      else regexp_like(normalizedStream(col(field)),
-        lit(" " + terms.mkString(" ") + "[\\p{L}\\p{N}]*"))
+      else containsGate(col(field), terms) &&
+        regexp_like(lower(col(field)), lit(rawPhraseRegex(terms, prefix = true)))
     }
   }
 
@@ -210,4 +212,34 @@ object QueryAst {
     * padded with sentinels — phrase matching substrate. */
   private[queryast] def normalizedStream(c: Column): Column =
     concat(lit(" "), array_join(Tokenizers.default(c), " "), lit(" "))
+
+  /** Cheap conjunctive pre-gate for phrase regexes: every query term (terms
+    * are lowercased alphanumeric, so normalization can't synthesize them)
+    * must appear as a substring of lower(text) for the token-stream regex to
+    * possibly match. `contains` is codegen'd and ~10× cheaper than the
+    * tokenize+join+regex it guards; the && short-circuits in generated code
+    * so the regex only runs on candidate rows. Semantics unchanged — the
+    * gate is implied by the regex. */
+  private[queryast] def containsGate(c: Column, terms: Seq[String]): Column =
+    terms.map(t => contains(lower(c), lit(t))).reduce(_ && _)
+
+  /** Slop-0 adjacency regex applied DIRECTLY to lower(text): each query
+    * term must form a whole token (bounded by non-alphanumeric runs or
+    * string edges), consecutive terms separated by exactly one separator
+    * run; with `prefix` the last term only starts its token. Equivalent to
+    * matching the default-tokenizer stream, but one codegen'd regex pass —
+    * no token-array build + join per row. Fidelity note: this form is
+    * actually CLOSER to tantivy than the joined-stream form — a >255-char
+    * token dropped by remove_long leaves a position GAP in tantivy (phrase
+    * does not match across it), which raw adjacency preserves, while
+    * stream-joining would falsely collapse the neighbors to adjacent.
+    * Query terms come from tokenizeQuery (lowercase alphanumeric), so they
+    * are regex-safe by construction. */
+  private[queryast] def rawPhraseRegex(terms: Seq[String], prefix: Boolean): String = {
+    val sep = "[^\\p{L}\\p{N}]+"
+    val body = terms.mkString(sep)
+    val start = "(^|[^\\p{L}\\p{N}])"
+    if (prefix) start + body
+    else start + body + "($|[^\\p{L}\\p{N}])"
+  }
 }

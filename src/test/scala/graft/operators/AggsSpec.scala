@@ -138,4 +138,34 @@ class AggsSpec extends SparkTestBase {
       .collect().map(_.getDouble(0)).toSeq
     assert(out === Seq(25.0, 35.0, 45.0))
   }
+
+  test("termsDistributed: leaf truncation, merged counts, error bounds") {
+    import spark.implicits._
+    // split 0: x×5 y×3 z×2   (split_size=2 keeps x,y; drops z → cutoff 2)
+    // split 1: y×4 z×4 w×1   (keeps y,z ties→key asc; drops w → cutoff 1)
+    val rows =
+      Seq.fill(5)((0, "x")) ++ Seq.fill(3)((0, "y")) ++ Seq.fill(2)((0, "z")) ++
+      Seq.fill(4)((1, "y")) ++ Seq.fill(4)((1, "z")) ++ Seq.fill(1)((1, "w"))
+    val df = rows.toDF("split", "term")
+    val out = Aggs.termsDistributed(df, col("split"), col("term"),
+      size = 2, splitSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // merged: y=3+4=7 (reported by both → err 0), x=5 (missing from split 1
+    // → err = cutoff_1 = 1); z kept only in split 1 (4; err = cutoff_0 = 2)
+    // loses the size=2 cut to x on key asc? No: z=4 < x=5 → top2 = y,x.
+    assert(out.toSeq === Seq(("y", 7L, 0L, 7L), ("x", 5L, 1L, 7L)))
+    // sum_other = total 19 − returned 12 = 7
+
+    // the protocol's guarantee: true_count − doc_count ≤ err_upper
+    val truth = df.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (k, dc, err, _) => assert(truth(k) - dc <= err) }
+
+    // no truncation (split_size ≥ cardinality): exact counts, zero error
+    val exact = Aggs.termsDistributed(df, col("split"), col("term"),
+      size = 4, splitSize = 10).collect()
+    exact.foreach { r =>
+      assert(r.getLong(1) === truth(r.getString(0)) && r.getLong(2) === 0L)
+    }
+  }
 }

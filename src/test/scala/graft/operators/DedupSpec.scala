@@ -205,4 +205,33 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(emptyPair.contains((2L, 3L))) // identical empties match at hamming 0
   }
+
+  test("connected components: transitivity, min rep, chains beyond one hop") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a 4-chain (diameter 3), {10,11}, and a
+    // clique {20,21,22}; 30 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_id1", "doc_id2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 30L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(docs, col("doc_id"),
+      Dedup.connectedComponents(pairs)).collect().map(_.getLong(0)).toSet
+    // one per cluster + the untouched singleton
+    assert(kept === Set(1L, 10L, 20L, 30L))
+  }
+
+  test("connected components: refuses to return an unconverged labeling") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_id1", "doc_id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    // but converges with enough rounds for the diameter
+    assert(Dedup.connectedComponents(chain, maxIter = 5)
+      .collect().map(_.getLong(1)).forall(_ === 1L))
+  }
 }

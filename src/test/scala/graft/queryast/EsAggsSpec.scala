@@ -186,4 +186,19 @@ class EsAggsSpec extends SparkTestBase {
          |"p":{"values":{"50.0":$p50}}}}""".stripMargin)
     assert(got === want)
   }
+
+  test("terms: show_term_doc_count_error renders per-bucket bound; split_size accepted") {
+    // exact engine ⇒ 0 is the truthful per-bucket upper bound
+    // (aggregation.md:509-513; split_size is a leaf-truncation accuracy
+    // knob with no effect on an exact computation)
+    val got = EsAggs.search(docs, resolver,
+      """{"aggs":{"hosts":{"terms":{"field":"host","size":2,
+        |"split_size":5,"show_term_doc_count_error":true}}}}""".stripMargin)
+    assert(got.contains(""""doc_count_error_upper_bound":0,"doc_count":"""))
+    // absent flag: buckets carry no per-bucket bound (agg-level one remains)
+    val plain = EsAggs.search(docs, resolver,
+      """{"aggs":{"hosts":{"terms":{"field":"host","size":2}}}}""")
+    assert(!plain.replaceAll("""\],"doc_count_error_upper_bound".*""", "")
+      .contains("doc_count_error_upper_bound"))
+  }
 }
