@@ -28,6 +28,87 @@ object EsApi {
   def countResponse(n: Long): String =
     s"""{"count":$n,"_shards":{"total":1,"successful":1,"skipped":0,"failed":0}}"""
 
+  // ---- _search -------------------------------------------------------------
+  /** Sort-spec JSON forms accepted by the reference (es_compatibility
+    * 0008-sort_by.yaml): a list of `{field: {"order": ...}}` /
+    * `{field: "asc|desc"}` / bare `"field"` entries, or a single object.
+    * Default order asc. Returns (field, ascending). */
+  private[queryast] def parseSort(v: Any): Seq[(String, Boolean)] = {
+    def one(e: Any): Seq[(String, Boolean)] = e match {
+      case s: String => Seq(s -> true)
+      case m: Map[String, Any] @unchecked =>
+        m.toSeq.map {
+          case (f, dir: String) => f -> (dir != "desc")
+          case (f, o: Map[String, Any] @unchecked) =>
+            f -> !o.get("order").contains("desc")
+          case (f, _) => f -> true
+        }
+      case other => throw new IllegalArgumentException(s"bad sort entry: $other")
+    }
+    v match {
+      case xs: Seq[Any] @unchecked => xs.flatMap(one)
+      case other                   => one(other)
+    }
+  }
+
+  /** Full `_search` over one index frame: query filter + sort + from/size
+    * hits (with `_source` back-projection and per-hit sort values) +
+    * aggregations, rendered as the ES response envelope the reference's
+    * es_compatibility scenarios assert on (hits.total.value/relation,
+    * hits.hits[]._id/sort/_source, aggregations).
+    *
+    * Execution shape: one count aggregate for `total`, one
+    * TakeOrdered-with-offset job for the page of hits (bounded by
+    * from+size — never a full sort materialization), and EsAggs for the
+    * agg tree. `_id` comes from `id`; `_source` is the doc→JSON
+    * back-projection of the frame's columns (to_json of the row struct). */
+  def search(df: DataFrame, resolver: FieldResolver, id: Column,
+             bodyJson: String): String = {
+    val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
+    val filtered = m.get("query").map { q =>
+      df.filter(EsDsl.fromParsed(q, resolver.defaultFields).toColumn(resolver))
+    }.getOrElse(df)
+    val size = m.get("size").map(_.asInstanceOf[Double].toInt).getOrElse(10)
+    val from = m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
+    val sortSpec = m.get("sort").map(parseSort).getOrElse(Nil)
+
+    val total = filtered.count()
+    val hitsJson: Seq[String] =
+      if (size == 0) Nil
+      else {
+        val sortCols = EsSort.compile(sortSpec.map { case (f, asc) => (col(f), asc) }, id)
+        val page = graft.operators.Aggs.paginate(
+          filtered.select(id.as("_id_v"),
+            to_json(struct(df.columns.map(col).toSeq: _*)).as("_src"),
+            array(sortSpec.map { case (f, _) => col(f).cast("string") }: _*).as("_sv")),
+          sortCols, offset = from, k = size)
+        page.collect().toSeq.map { r =>
+          val idJ = r.get(0) match {
+            case s: String => graft.operators.EsAggResponse.esc(s)
+            case other     => other.toString
+          }
+          val sv = r.getAs[scala.collection.Seq[String]]("_sv")
+          def svJson(v: String): String =
+            if (v == null) "null"
+            else if (v.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")) v
+            else graft.operators.EsAggResponse.esc(v)
+          val sortJ =
+            if (sortSpec.isEmpty) ""
+            else s""","sort":[${sv.map(svJson).mkString(",")}]"""
+          s"""{"_id":$idJ$sortJ,"_source":${r.getAs[String]("_src")}}"""
+        }
+      }
+    val aggsJson = m.get("aggs").orElse(m.get("aggregations")).map { _ =>
+      val rendered = EsAggs.search(df, resolver,
+        bodyJson) // EsAggs re-applies the query filter on the same body
+      // splice the {"aggregations": ...} envelope's inner object
+      rendered.stripPrefix("{").stripSuffix("}")
+    }
+    val hitsBlock =
+      s""""hits":{"total":{"value":$total,"relation":"eq"},"hits":[${hitsJson.mkString(",")}]}"""
+    s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}"""
+  }
+
   // ---- _msearch ----------------------------------------------------------
   /** One msearch batch over one index: per-query (total, top-`size` doc ids
     * by the id sort). All sub-query counts come from a SINGLE aggregate over

@@ -69,19 +69,56 @@ object EsDsl {
         // phrase_prefix_query.rs:31-44 → query_ast::PhrasePrefixQuery
         fieldParam(body) { case (f, p) => PhrasePrefix(f, str(value(p, "query"))) }
       case "multi_match" =>
+        // multi_match.rs:36-144: type ∈ {most_fields (default), phrase,
+        // phrase_prefix}, expanded to the per-field query and UNIONed;
+        // `lenient` accepted and ignored (multi_match.rs:30-34); field
+        // boosting `^` and wildcard `*` rejected with the reference's
+        // error text (multi_match.rs:72-86); fields may be one-or-many.
         val o = body.asInstanceOf[Obj]
         val q = str(o("query"))
-        val fields = o.get("fields").map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(df)
-        val alts = fields.map(f => FullText(f, q, ModeOr): QueryAst)
+        val fields = o.get("fields").map {
+          case xs: Seq[Any] @unchecked => xs.map(str)
+          case one => Seq(str(one)) // OneOrMany, PreferMany
+        }.getOrElse(df)
+        fields.foreach { f =>
+          require(!f.contains("^"), "Quickwit does not support field boosting in " +
+            s"the multi match query fields (got `$f`)")
+          require(!f.contains("*"), "Quickwit does not support wildcards in " +
+            s"the multi match query fields (got `$f`)")
+        }
+        val alts: Seq[QueryAst] = o.get("type").map(str).getOrElse("most_fields") match {
+          case "most_fields" =>
+            val andOp = o.get("operator").map(str).contains("and")
+            fields.map(f => FullText(f, q, if (andOp) ModeAnd else ModeOr))
+          case "phrase" =>
+            val slop = o.get("slop").map(_.asInstanceOf[Double].toInt).getOrElse(0)
+            fields.map(f => FullText(f, q, ModePhrase(slop)))
+          case "phrase_prefix" =>
+            fields.map(f => PhrasePrefix(f, q))
+          case other => throw new IllegalArgumentException(
+            s"unknown variant `$other`, expected one of `most_fields`, `phrase`, `phrase_prefix`")
+        }
         if (alts.size == 1) alts.head else Bool(should = alts)
       case "wildcard" =>
         fieldParam(body) { case (f, p) => Wildcard(f, str(value(p, "value"))) }
       case "query_string" =>
+        // query_string_query.rs:24-40: default_field XOR fields (both set is
+        // an error, rs:26-28); default_operator defaults to OR — the ES
+        // BooleanOperand serde default (lib.rs:53-59) — unlike the quickwit
+        // query-language endpoint, whose default is AND.
         val o = body.asInstanceOf[Obj]
+        require(!(o.contains("default_field") && o.contains("fields")),
+          "fields and default_field cannot be both set in `query_string` queries")
         val fields = o.get("default_field").map(f => Seq(str(f)))
           .orElse(o.get("fields").map(_.asInstanceOf[Seq[Any]].map(str)))
           .getOrElse(df)
-        UserQueryParser.parse(str(o("query")), fields)
+        val andOp = o.get("default_operator").map(str).exists {
+          case "and" | "AND" => true
+          case "or" | "OR"   => false
+          case other => throw new IllegalArgumentException(
+            s"unknown variant `$other`, expected `and` or `or`")
+        }
+        UserQueryParser.parse(str(o("query")), fields, defaultAnd = andOp)
       case "boost" =>
         val o = body.asInstanceOf[Obj]
         Boost(node(o("query"), df), o.getOrElse("value", 1.0).asInstanceOf[Double])

@@ -20,10 +20,11 @@ import QueryAst._
   */
 object UserQueryParser {
 
-  def parse(query: String, defaultFields: Seq[String]): QueryAst =
-    new Parser(query, defaultFields).parseQuery()
+  def parse(query: String, defaultFields: Seq[String],
+            defaultAnd: Boolean = true): QueryAst =
+    new Parser(query, defaultFields, defaultAnd).parseQuery()
 
-  private final class Parser(s: String, defaultFields: Seq[String]) {
+  private final class Parser(s: String, defaultFields: Seq[String], defaultAnd: Boolean) {
     private var i = 0
 
     def parseQuery(): QueryAst = {
@@ -44,22 +45,43 @@ object UserQueryParser {
     }
 
     private def andExpr(): QueryAst = {
-      var must = List.empty[QueryAst]
-      var mustNot = List.empty[QueryAst]
+      // clause markers: Some(true)=+ (must), Some(false)=NOT/- (mustNot),
+      // None = bare (resolved to the default occur; an explicit AND join
+      // upgrades BOTH neighbors to must, mirroring tantivy grammar occurs)
+      var clauses = Vector.empty[(Option[Boolean], QueryAst)]
+      var andJoin = Vector.empty[Boolean] // andJoin(k): clause k AND-joined to k+1
       def one(): Unit = {
         ws()
-        if (peekWord("NOT") ) { eatWord("NOT"); mustNot ::= primary() }
-        else if (peek == '-') { i += 1; mustNot ::= primary() }
-        else if (peek == '+') { i += 1; must ::= primary() }
-        else must ::= primary()
+        if (peekWord("NOT") ) { eatWord("NOT"); clauses :+= (Some(false) -> primary()) }
+        else if (peek == '-') { i += 1; clauses :+= (Some(false) -> primary()) }
+        else if (peek == '+') { i += 1; clauses :+= (Some(true) -> primary()) }
+        else clauses :+= (None -> primary())
       }
       one()
       while ({ ws(); i < s.length && peek != ')' && !peekWord("OR") }) {
-        if (peekWord("AND")) eatWord("AND")
+        val joined = peekWord("AND")
+        if (joined) eatWord("AND")
+        andJoin :+= joined
         one()
       }
-      if (mustNot.isEmpty && must.size == 1) must.head
-      else Bool(must = must.reverse, mustNot = mustNot.reverse)
+      val n = clauses.size
+      def andTouched(k: Int): Boolean =
+        (k > 0 && andJoin(k - 1)) || (k < n - 1 && andJoin(k))
+      var must = List.empty[QueryAst]
+      var mustNot = List.empty[QueryAst]
+      var should = List.empty[QueryAst]
+      clauses.zipWithIndex.foreach {
+        case ((Some(false), q), _) => mustNot ::= q
+        case ((Some(true), q), _)  => must ::= q
+        case ((None, q), k) =>
+          if (defaultAnd || andTouched(k)) must ::= q else should ::= q
+      }
+      (must, mustNot, should) match {
+        case (m :: Nil, Nil, Nil) => m
+        case (Nil, Nil, sh :: Nil) => sh
+        case _ =>
+          Bool(must = must.reverse, mustNot = mustNot.reverse, should = should.reverse)
+      }
     }
 
     private def primary(): QueryAst = {

@@ -68,4 +68,36 @@ class EsApiSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows === Seq(("documents", 3L, 40L), ("other", 1L, 2L)))
   }
+
+  test("_search: full envelope — total, sorted paged hits, _source, sort values") {
+    import graft.util.Json
+    // 0008-sort_by.yaml shape: size 1, match_all, sort desc
+    val got = Json.parse(EsApi.search(docs, resolver, col("doc_id"),
+      """{"size": 1, "query": {"match_all": {}}, "sort": [{"doc_id": {"order": "desc"}}]}"""))
+      .asInstanceOf[Map[String, Any]]
+    val hits = got("hits").asInstanceOf[Map[String, Any]]
+    assert(hits("total") === Map("value" -> 3.0, "relation" -> "eq"))
+    val hit = hits("hits").asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]
+    assert(hit("_id") === 3.0 && hit("sort") === Seq(3.0))
+    assert(hit("_source").asInstanceOf[Map[String, Any]]("text") === "nichts hier")
+
+    // from/size paging over an asc sort (bare-string sort form, default asc)
+    val page = Json.parse(EsApi.search(docs, resolver, col("doc_id"),
+      """{"size": 1, "from": 1, "sort": ["doc_id"]}""")).asInstanceOf[Map[String, Any]]
+    val pageHit = page("hits").asInstanceOf[Map[String, Any]]("hits")
+      .asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]
+    assert(pageHit("_id") === 2.0)
+
+    // query filter + aggregations spliced into the same envelope; size 0
+    val withAggs = Json.parse(EsApi.search(docs, resolver, col("doc_id"),
+      """{"size": 0, "query": {"term": {"lang": "en"}},
+        | "aggs": {"langs": {"terms": {"field": "lang"}}}}""".stripMargin))
+      .asInstanceOf[Map[String, Any]]
+    assert(withAggs("hits").asInstanceOf[Map[String, Any]]("total") ===
+      Map("value" -> 2.0, "relation" -> "eq"))
+    assert(withAggs("hits").asInstanceOf[Map[String, Any]]("hits") === Seq())
+    val buckets = withAggs("aggregations").asInstanceOf[Map[String, Any]]("langs")
+      .asInstanceOf[Map[String, Any]]("buckets").asInstanceOf[Seq[Any]]
+    assert(buckets === Seq(Map("doc_count" -> 2.0, "key" -> "en")))
+  }
 }

@@ -60,6 +60,29 @@ class EsDslSpec extends AnyFunSuite {
       Bool(should = Seq(FullText("title", "fox", ModeOr), FullText("body", "fox", ModeOr))))
   }
 
+  test("multi_match types: phrase / phrase_prefix / operator / lenient (multi_match.rs:36-144)") {
+    // 0016-misc-query.yaml shapes: lenient accepted and ignored
+    assert(p("""{"multi_match": {"query": "to be", "type": "phrase", "lenient": true,
+               | "fields": ["m", "d"]}}""".stripMargin) ===
+      Bool(should = Seq(FullText("m", "to be", ModePhrase(0)),
+        FullText("d", "to be", ModePhrase(0)))))
+    assert(p("""{"multi_match": {"query": "to b", "type": "phrase_prefix", "fields": ["m"]}}""") ===
+      PhrasePrefix("m", "to b"))
+    assert(p("""{"multi_match": {"query": "a b", "operator": "and", "fields": ["m"]}}""") ===
+      FullText("m", "a b", ModeAnd))
+    assert(p("""{"multi_match": {"query": "a b", "type": "phrase", "slop": 2.0, "fields": ["m"]}}""") ===
+      FullText("m", "a b", ModePhrase(2)))
+    // single (non-array) field — OneOrMany PreferMany
+    assert(p("""{"multi_match": {"query": "x", "fields": "m"}}""") === FullText("m", "x", ModeOr))
+    // field boosting / wildcards rejected with the reference's message
+    val e1 = intercept[IllegalArgumentException] {
+      p("""{"multi_match": {"query": "x", "fields": ["m^3"]}}""") }
+    assert(e1.getMessage.contains("does not support field boosting"))
+    val e2 = intercept[IllegalArgumentException] {
+      p("""{"multi_match": {"query": "x", "fields": ["m*"]}}""") }
+    assert(e2.getMessage.contains("does not support wildcards"))
+  }
+
   test("wildcard") {
     assert(p("""{"wildcard": {"source": {"value": "src1*"}}}""") === Wildcard("source", "src1*"))
   }

@@ -68,4 +68,23 @@ class UserQueryParserSpec extends AnyFunSuite {
   test("trailing garbage rejected") {
     intercept[IllegalArgumentException](p("a )"))
   }
+
+  test("default operator OR (ES query_string BooleanOperand default, lib.rs:53-59)") {
+    def pOr(q: String) = UserQueryParser.parse(q, Seq("text"), defaultAnd = false)
+    // bare juxtaposition takes the default occur (Should)
+    assert(pOr("a b") === Bool(should = Seq(Term("text", "a"), Term("text", "b"))))
+    // single clause unwrapped either way
+    assert(pOr("a") === Term("text", "a"))
+    // explicit AND pins BOTH neighbors to must; the bare tail stays should
+    assert(pOr("a AND b c") === Bool(
+      must = Seq(Term("text", "a"), Term("text", "b")),
+      should = Seq(Term("text", "c"))))
+    // '+' is must, '-' is mustNot, regardless of the default
+    assert(pOr("+a -b c") === Bool(
+      must = Seq(Term("text", "a")),
+      mustNot = Seq(Term("text", "b")),
+      should = Seq(Term("text", "c"))))
+    // default AND is unchanged
+    assert(p("a b") === Bool(must = Seq(Term("text", "a"), Term("text", "b"))))
+  }
 }
