@@ -1211,6 +1211,25 @@ object SparkEntry {
         .orderBy("role")
     }),
 
+    // CanSplitDoBetter early split-skip (leaf.rs:430-543): latest-k query
+    // over a 3-batch table opens only the splits that can compete; the
+    // oracle is the plain global sort — skipping is never lossy.
+    "k_topk_split_skip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-splitskip").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      val tr = transcripts(s, d)
+        .filter(pmod(unix_micros(col("ts").cast("timestamp_ltz")), lit(4L)) === 1L)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      val (c1, c2) = (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp"))
+      table.append(tr.filter(col("ts") < c1), delta(-1, 1), numFiles = 1)
+      table.append(tr.filter(col("ts") >= c1 && col("ts") < c2), delta(1, 2), numFiles = 1)
+      table.append(tr.filter(col("ts") >= c2), delta(2, 3), numFiles = 1)
+      val (top, _) = table.topKByTs(5)
+      top.select("conv_id", "turn_idx", "ts")
+        .orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+    }),
+
     // ---- list_fields / field caps (§2.11): schema introspection ----------
     "s_list_fields" -> ((s, d) => {
       import s.implicits._
@@ -2270,6 +2289,11 @@ object SparkEntry {
     "s_tag_pruned_scan" -> (TranscriptsCte +
       """SELECT role, CAST(count(*) AS BIGINT) AS n_docs
         |FROM transcripts WHERE role = 'tool' AND turn_idx < 5 GROUP BY role""".stripMargin),
+
+    "k_topk_split_skip" -> (TranscriptsCte +
+      """SELECT conv_id, turn_idx, ts FROM transcripts
+        |WHERE epoch_us(ts) % 4 = 1
+        |ORDER BY ts DESC, conv_id, turn_idx LIMIT 5""".stripMargin),
 
     "s_time_pruned_scan" -> (TranscriptsCte +
       """SELECT role, CAST(count(*) AS BIGINT) AS n_docs, min(ts) AS first_ts

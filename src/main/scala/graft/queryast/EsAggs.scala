@@ -165,12 +165,15 @@ object EsAggs {
   }
 
   /** name → rendered JSON body for each top-level aggregation. */
-  def run(df: DataFrame, nodes: Seq[Node]): Seq[(String, String)] =
+  def run(df: DataFrame, nodes: Seq[Node],
+          bucketLimit: Int = DefaultBucketLimit): Seq[(String, String)] = {
+    val counter = new BucketCounter(bucketLimit)
     nodes.map {
       case Node(name, m: Metric, _) => name -> topMetric(df, m)
       case n @ Node(name, _: Bucket, _) =>
-        name -> bucketBodies(df, n, Nil).getOrElse(Seq.empty[Any], emptyBucketBody(n))
+        name -> bucketBodies(df, n, Nil, counter).getOrElse(Seq.empty[Any], emptyBucketBody(n))
     }
+  }
 
   private def vcol(f: String): Column = col(f).cast("double")
 
@@ -270,8 +273,27 @@ object EsAggs {
   /** Recursive bucket execution: returns parent-key-path → rendered body.
     * `pathNames` are the `_k<d>` grouping columns of enclosing buckets
     * (empty at top level). */
+  /** Cumulative bucket counter — the AggregationLimits guard the reference
+    * wires into every segment collector (collector.rs:562,860-894; node
+    * config default `aggregation_bucket_limit: 65000`,
+    * quickwit-config/src/node_config/mod.rs:198,220). Enforced at each
+    * collect of bucket cells, cumulatively across the whole agg tree, so a
+    * high-cardinality terms/histogram request fails fast instead of
+    * OOMing the driver — same role the limit plays for the reference's
+    * searcher memory. */
+  final class BucketCounter(limit: Int) {
+    private var n = 0
+    def add(k: Int): Unit = {
+      n += k
+      if (n > limit) throw new IllegalArgumentException(
+        s"Aborting aggregation because bucket limit was reached (limit: $limit)")
+    }
+  }
+  val DefaultBucketLimit = 65000 // node_config/mod.rs:220
+
   private def bucketBodies(df: DataFrame, node: Node,
-                           pathNames: Seq[String]): Map[Seq[Any], String] = {
+                           pathNames: Seq[String],
+                           counter: BucketCounter): Map[Seq[Any], String] = {
     val bucket = node.agg.asInstanceOf[Bucket]
     val depth = pathNames.size
     val kName = s"_k$depth"
@@ -334,10 +356,11 @@ object EsAggs {
 
     // nested bucket subs recurse over the SAME keyed frame
     val nestedBodies: Seq[(String, Map[Seq[Any], String], Node)] = node.subs.collect {
-      case n @ Node(nm, _: Bucket, _) => (nm, bucketBodies(keyed, n, pathNames :+ kName), n)
+      case n @ Node(nm, _: Bucket, _) => (nm, bucketBodies(keyed, n, pathNames :+ kName, counter), n)
     }
 
     val rows = keptFrame.collect().toSeq
+    counter.add(rows.size)
     val byParent = rows.groupBy(r => (0 until pathNames.size).map(r.get).toList: Seq[Any])
 
     def subsJson(path: Seq[Any], r: Row): String = {

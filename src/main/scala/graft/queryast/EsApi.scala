@@ -34,14 +34,17 @@ object EsApi {
     * `{field: "asc|desc"}` / bare `"field"` entries, or a single object.
     * Default order asc. Returns (field, ascending). */
   private[queryast] def parseSort(v: Any): Seq[(String, Boolean)] = {
+    // default order: ascending for fields, DESCENDING for `_score`
+    // (es_compatible_api.md "Sort order")
+    def dflt(f: String): Boolean = f != "_score"
     def one(e: Any): Seq[(String, Boolean)] = e match {
-      case s: String => Seq(s -> true)
+      case s: String => Seq(s -> dflt(s))
       case m: Map[String, Any] @unchecked =>
         m.toSeq.map {
           case (f, dir: String) => f -> (dir != "desc")
           case (f, o: Map[String, Any] @unchecked) =>
-            f -> !o.get("order").contains("desc")
-          case (f, _) => f -> true
+            f -> o.get("order").map(_ != "desc").getOrElse(dflt(f))
+          case (f, _) => f -> dflt(f)
         }
       case other => throw new IllegalArgumentException(s"bad sort entry: $other")
     }
@@ -72,13 +75,27 @@ object EsApi {
     val from = m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
     val sortSpec = m.get("sort").map(parseSort).getOrElse(Nil)
 
-    val total = filtered.count()
+    val total = filtered.count() // ES total counts ALL matches, cursor-independent
+    // search_after: resume strictly after the cursor tuple, respecting each
+    // criterion's direction (collector.rs:316-341 generalized to desc)
+    val afterFiltered = m.get("search_after").map { sa =>
+      val vals = sa.asInstanceOf[Seq[Any]]
+      require(vals.size == sortSpec.size,
+        s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
+      val cs = sortSpec.map { case (f, asc) => (col(f), asc) }
+      val pred = cs.indices.map { i =>
+        (cs.take(i).zip(vals).map { case ((c, _), v) => c === lit(v) } :+
+          (if (cs(i)._2) cs(i)._1 > lit(vals(i)) else cs(i)._1 < lit(vals(i))))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      filtered.filter(pred)
+    }.getOrElse(filtered)
     val hitsJson: Seq[String] =
       if (size == 0) Nil
       else {
         val sortCols = EsSort.compile(sortSpec.map { case (f, asc) => (col(f), asc) }, id)
         val page = graft.operators.Aggs.paginate(
-          filtered.select(id.as("_id_v"),
+          afterFiltered.select(id.as("_id_v"),
             to_json(struct(df.columns.map(col).toSeq: _*)).as("_src"),
             array(sortSpec.map { case (f, _) => col(f).cast("string") }: _*).as("_sv")),
           sortCols, offset = from, k = size)

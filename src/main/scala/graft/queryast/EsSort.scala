@@ -13,6 +13,20 @@ import org.apache.spark.sql.Column
   * [addr7, addr4], both descending; the asc case orders both ascending. */
 object EsSort {
 
+  /** quickwit's REST `sort_by` mini-DSL (quickwit-serve/src/search_api/
+    * rest_handler.rs:99-124): comma-separated fields, empty segments
+    * skipped, values trimmed — and the REFERENCE'S OWN quirk preserved
+    * exactly: a bare field AND a `+` prefix both sort DESCENDING, while
+    * `-` sorts ASCENDING (rest_handler.rs:106-113 maps both the
+    * `+`-stripped and the bare branch to SortOrder::Desc). Returns
+    * (field, ascending) pairs for [[compile]]. */
+  def parseMiniDsl(sortBy: String): Seq[(String, Boolean)] =
+    sortBy.split(',').toSeq.filter(_.nonEmpty).map { seg =>
+      if (seg.startsWith("+")) seg.drop(1).trim -> false
+      else if (seg.startsWith("-")) seg.drop(1).trim -> true
+      else seg.trim -> false
+    }
+
   /** `spec`: (column, ascending) in priority order; `docAddr`: the implicit
     * tiebreaker column. Returns orderBy-ready columns. */
   def compile(spec: Seq[(Column, Boolean)], docAddr: Column): Seq[Column] = {

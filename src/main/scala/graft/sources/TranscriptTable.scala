@@ -131,4 +131,84 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     * MatchAll+max_hits=0 fast path (root.rs:583-618): no data file is read. */
   def countFromMetadata(): Long =
     store.currentSnapshot().map(_.splits.map(_.numDocs).sum).getOrElse(0L)
+
+  /** Early split-skip top-k by timestamp — `CanSplitDoBetter`
+    * (quickwit-search/src/leaf.rs:430-543): for `sort by ts desc/asc,
+    * limit k`, splits are processed in the order that lets the most be
+    * skipped (end desc for desc sort, start asc for asc — leaf.rs:484-499),
+    * each split contributes its own leaf top-k, the driver merges (the
+    * root's k-way merge), and as soon as k hits are held, any split whose
+    * time range cannot beat the current worst kept hit is skipped
+    * (leaf.rs:501-514). The bound is monotone along the processing order,
+    * so the first unbeatable split ends the scan — the log-search hot path
+    * (`latest k events`) opens ONE recent split out of N. The reference
+    * rounds the worst-hit bound to seconds conservatively
+    * (leaf.rs:517-543); our split metadata is µs so the bound is exact.
+    *
+    * Each opened split is one bounded job collecting ≤ k rows — the same
+    * per-split incremental shape as the reference's leaf search; k is
+    * capped by the serve layer (max_hits ≤ 10_000) so the driver merge is
+    * trivially bounded. Ties break by (conv_id, turn_idx) asc — the stable
+    * turn order. Returns (top-k rows as a frame, the opened file list —
+    * callers/specs can prove skipped splits were never read). */
+  def topKByTs(k: Int, desc: Boolean = true,
+               query: Option[QueryAst] = None,
+               resolver: graft.queryast.FieldResolver =
+                 graft.queryast.FieldResolver(Set("text"), Seq("text"))): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.Row
+    val snap = store.currentSnapshot()
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
+    val ordered =
+      if (desc) snap.splits.sortBy(-_.timeRangeEndMicros)
+      else snap.splits.sortBy(_.timeRangeStartMicros)
+    val sortCols =
+      (if (desc) col("ts").desc else col("ts").asc) +:
+        Seq(col("conv_id").asc, col("turn_idx").asc)
+    def key(r: Row): (Long, String, Int) = {
+      val us = r.getAs[Any]("ts") match {
+        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        case d: java.time.LocalDateTime =>
+          d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+      }
+      (us, r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+    }
+    implicit val ord: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val (ta, ca, ia) = key(a); val (tb, cb, ib) = key(b)
+        val byTs = if (desc) java.lang.Long.compare(tb, ta) else java.lang.Long.compare(ta, tb)
+        if (byTs != 0) byTs
+        else { val c = ca.compareTo(cb); if (c != 0) c else Integer.compare(ia, ib) }
+      }
+    }
+    var top = Vector.empty[Row]
+    var worstTs: Option[Long] = None // µs of the k-th kept hit
+    def canBeBetter(s: Manifest.SplitEntry): Boolean = worstTs match {
+      case None => true
+      case Some(w) => if (desc) s.timeRangeEndMicros >= w else s.timeRangeStartMicros <= w
+    }
+    val opened = Seq.newBuilder[String]
+    var schema: org.apache.spark.sql.types.StructType = null
+    var i = 0
+    var done = false
+    while (i < ordered.size && !done) {
+      val s = ordered(i)
+      if (!canBeBetter(s)) done = true // bound monotone along the order
+      else {
+        val files = s.files.map(_.replaceFirst("^file:", ""))
+        opened ++= files
+        val df = spark.read.parquet(files: _*)
+        if (schema == null) schema = df.schema
+        val leaf = query.fold(df)(q => df.filter(q.toColumn(resolver)))
+          .orderBy(sortCols: _*).limit(k).collect()
+        top = (top ++ leaf).sorted.take(k)
+        if (top.size == k) worstTs = Some(key(top.last)._1)
+      }
+      i += 1
+    }
+    val out =
+      if (schema == null) spark.emptyDataset(spark.implicits.newProductEncoder[Turn]).toDF()
+      else spark.createDataFrame(
+        spark.sparkContext.parallelize(top, math.max(1, math.min(top.size, 4))), schema)
+    (out, opened.result())
+  }
 }

@@ -187,6 +187,19 @@ class EsAggsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("bucket limit guards the agg tree cumulatively (AggregationLimits analog)") {
+    // docs fixture has >1 host bucket; a limit of 1 must abort with the
+    // reference's error text; the default (65000) sails through
+    val e = intercept[IllegalArgumentException] {
+      EsAggs.run(docs, EsAggs.parseAggs(graft.util.Json.parse(
+        """{"hosts": {"terms": {"field": "host"}}}""").asInstanceOf[Map[String, Any]]),
+        bucketLimit = 1)
+    }
+    assert(e.getMessage.contains("Aborting aggregation because bucket limit was reached"))
+    assert(EsAggs.search(docs, resolver,
+      """{"aggs": {"hosts": {"terms": {"field": "host"}}}}""").nonEmpty)
+  }
+
   test("terms: show_term_doc_count_error renders per-bucket bound; split_size accepted") {
     // exact engine ⇒ 0 is the truthful per-bucket upper bound
     // (aggregation.md:509-513; split_size is a leaf-truncation accuracy

@@ -100,4 +100,29 @@ class EsApiSpec extends SparkTestBase {
       .asInstanceOf[Map[String, Any]]("buckets").asInstanceOf[Seq[Any]]
     assert(buckets === Seq(Map("doc_count" -> 2.0, "key" -> "en")))
   }
+
+  test("_search: search_after resumes strictly after the cursor, total unchanged") {
+    import graft.util.Json
+    def hitsOf(body: String): (Double, Seq[Double]) = {
+      val g = Json.parse(EsApi.search(docs, resolver, col("doc_id"), body))
+        .asInstanceOf[Map[String, Any]]
+      val h = g("hits").asInstanceOf[Map[String, Any]]
+      (h("total").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Double],
+        h("hits").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]("_id").asInstanceOf[Double]))
+    }
+    // desc cursor: after doc 3 comes doc 2; total stays 3 (cursor-independent)
+    val (t1, ids1) = hitsOf(
+      """{"size": 1, "sort": [{"doc_id": "desc"}], "search_after": [3]}""")
+    assert(t1 === 3.0 && ids1 === Seq(2.0))
+    // asc cursor
+    val (_, ids2) = hitsOf(
+      """{"size": 2, "sort": ["doc_id"], "search_after": [1]}""")
+    assert(ids2 === Seq(2.0, 3.0))
+    // length mismatch rejected
+    intercept[IllegalArgumentException] {
+      EsApi.search(docs, resolver, col("doc_id"),
+        """{"sort": ["doc_id"], "search_after": [1, 2]}""")
+    }
+  }
 }

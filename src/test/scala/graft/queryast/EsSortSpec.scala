@@ -48,4 +48,14 @@ class EsSortSpec extends SparkTestBase {
       Some(15.0) -> 2L, Some(10.0) -> 2L, Some(10.0) -> 1L, Some(10.0) -> 0L,
       Some(-2.5) -> 4L, None -> 5L, None -> 3L))
   }
+
+  test("sort_by mini-DSL: bare and '+' are DESC, '-' is ASC (rest_handler.rs:99-124)") {
+    assert(EsSort.parseMiniDsl("ts") === Seq("ts" -> false))
+    assert(EsSort.parseMiniDsl("+ts") === Seq("ts" -> false))
+    assert(EsSort.parseMiniDsl("-ts") === Seq("ts" -> true))
+    // comma list, empty segments skipped, values trimmed
+    assert(EsSort.parseMiniDsl("-ts,,+ count ,id") ===
+      Seq("ts" -> true, "count" -> false, "id" -> false))
+    assert(EsSort.parseMiniDsl("") === Nil)
+  }
 }

@@ -83,6 +83,59 @@ class TranscriptTableSpec extends SparkTestBase {
     assert(norm(ts.inputFiles) === norm(userFiles))
   }
 
+  test("topKByTs: early split-skip opens only the splits that can compete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ttable")
+    val table = new TranscriptTable(dir, spark)
+    val turns = TranscriptGen.turns(numConvs = 30, avgTurns = 6)
+    val micros = turns.map(_.ts.getTime * 1000L).sorted
+    val (c1, c2) = (micros(micros.size / 3), micros(2 * micros.size / 3))
+    val df = turns.toDS().toDF()
+    table.append(df.filter(s"unix_micros(ts) < $c1"), delta(-1, 1), numFiles = 1)
+    table.append(df.filter(s"unix_micros(ts) >= $c1 AND unix_micros(ts) < $c2"),
+      delta(1, 2), numFiles = 1)
+    table.append(df.filter(s"unix_micros(ts) >= $c2"), delta(2, 3), numFiles = 1)
+    val snap = table.store.currentSnapshot().get
+    def filesOf(pred: graft.publish.Manifest.SplitEntry => Boolean): Set[String] =
+      snap.splits.filter(pred).flatMap(_.files).map(_.replaceFirst("^file:", "")).toSet
+
+    // k fits in the newest split → ONLY its file is opened
+    val newest = filesOf(_.timeRangeStartMicros >= c2)
+    val (top5, opened5) = table.topKByTs(5)
+    assert(opened5.toSet === newest)
+    val want5 = df.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+      .limit(5).collect().map(_.toString).toSeq
+    assert(top5.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+      .collect().map(_.toString).toSeq === want5)
+
+    // k spanning beyond one split opens the next; never lossy
+    val bigK = df.filter(s"unix_micros(ts) >= $c2").count().toInt + 3
+    val (topBig, openedBig) = table.topKByTs(bigK)
+    assert(openedBig.toSet === newest ++ filesOf(s =>
+      s.timeRangeStartMicros >= c1 && s.timeRangeStartMicros < c2))
+    assert(topBig.count() === bigK.toLong)
+
+    // ascending sort mirrors with the OLDEST split
+    val (topAsc, openedAsc) = table.topKByTs(5, desc = false)
+    assert(openedAsc.toSet === filesOf(_.timeRangeEndMicros < c1))
+    val wantAsc = df.orderBy(col("ts").asc, col("conv_id"), col("turn_idx"))
+      .limit(5).collect().map(_.toString).toSeq
+    assert(topAsc.orderBy(col("ts").asc, col("conv_id"), col("turn_idx"))
+      .collect().map(_.toString).toSeq === wantAsc)
+
+    // a filter that empties the newest split forces the scan onward
+    import graft.queryast.QueryAst
+    val onlyOld = QueryAst.TsRange("ts", None, Some(c1))
+    val (topF, openedF) = table.topKByTs(3, query = Some(onlyOld))
+    assert(openedF.size === 3 * 1 || openedF.toSet.size === 3) // all splits opened
+    val wantF = df.filter(s"unix_micros(ts) < $c1")
+      .orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+      .limit(3).collect().map(_.toString).toSeq
+    assert(topF.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+      .collect().map(_.toString).toSeq === wantF)
+  }
+
   test("duplicate append delta is rejected by the manifest store") {
     import spark.implicits._
     val dir = tmpDir("ttable")
