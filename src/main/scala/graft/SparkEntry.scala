@@ -902,6 +902,20 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "source"), "doc_id", "source",
         (0 until 20).map(i => s"src$i" -> (i % 10) / 10.0).toMap)),
 
+    // Deterministic corpus shuffle (training order): seeded md5 sort key —
+    // reproducible on any cluster size, engine-portable (oracle recomputes
+    // the identical permutation).
+    "x_shuffle_order" -> ((s, d) =>
+      TrainingMix.deterministicShuffle(
+        t(s, d, "documents").select("doc_id"), "doc_id", seed = 7L).limit(20)),
+
+    // Hash-bucket train/eval holdout: membership a pure function of the doc
+    // id — stable under corpus growth, exact-mirrorable in SQL.
+    "x_holdout" -> ((s, d) =>
+      TrainingMix.holdoutSplit(t(s, d, "documents").select("doc_id"), "doc_id",
+        seed = 42L, buckets = 100, holdoutBuckets = 5)
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
+
     // ---- bytes / ip leaf parse (P4) --------------------------------------
     "p_bytes_parse" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -2441,6 +2455,16 @@ object SparkEntry {
         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
         |  coalesce(hits.n, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""".stripMargin,
+
+    "x_shuffle_order" ->
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 20""".stripMargin,
+
+    "x_holdout" ->
+      """SELECT CASE WHEN CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5
+        |            THEN 'eval' ELSE 'train' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x_seq_pack" ->
       """WITH w AS (

@@ -351,13 +351,29 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce") only win on
     * long-chain graphs dedup never produces. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    val edges = pairs
-      .select(col("doc_id1").as("a"), col("doc_id2").as("b"))
-      .union(pairs.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
-      .distinct().persist()
+    // Materialize the (possibly expensive) pair computation ONCE before the
+    // loop via an EAGER localCheckpoint — not persist(): caching freezes a
+    // non-adaptive physical plan for everything beneath it, and the pair
+    // pipelines (jaccard/LSH self-joins) lean on AQE's skew handling —
+    // cache-wrapping the same jaccard plan measured 20× slower at sf0.1.
+    // localCheckpoint executes the AQE-optimized plan once, stores the
+    // partitions, and breaks the lineage the loop would otherwise re-walk.
+    val p = pairs.select(col("doc_id1"), col("doc_id2")).localCheckpoint()
+    val edges = p.select(col("doc_id1").as("a"), col("doc_id2").as("b"))
+      .union(p.select(col("doc_id2").as("a"), col("doc_id1").as("b")))
+      .distinct().localCheckpoint()
+    val nEdges = edges.count()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("rep", col("node")).persist()
+    if (nEdges == 0L) {
+      edges.unpersist()
+      return labels.select(col("node").as("doc_id"), col("rep"))
+    }
     try {
+      // Convergence = Σrep unchanged: labels only ever DECREASE, so the sum
+      // strictly drops on any change — ONE aggregate action per round
+      // instead of a persist-then-antijoin probe (half the jobs).
+      var prevSum: java.math.BigDecimal = null
       var it = 0
       while (it < maxIter) {
         val nbrMin = edges
@@ -367,12 +383,13 @@ object Dedup {
           .select(col("node"),
             least(col("rep"), coalesce(col("_nbr"), col("rep"))).as("rep"))
           .persist()
-        val converged = next.join(labels.withColumnRenamed("rep", "_old"), "node")
-          .filter(col("rep") =!= col("_old")).isEmpty
+        val sum = next.agg(org.apache.spark.sql.functions.sum(
+          col("rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
         labels.unpersist()
         labels = next
-        if (converged)
+        if (prevSum != null && sum.compareTo(prevSum) == 0)
           return labels.select(col("node").as("doc_id"), col("rep"))
+        prevSum = sum
         it += 1
       }
       throw new IllegalStateException(

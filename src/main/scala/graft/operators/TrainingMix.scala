@@ -67,4 +67,36 @@ object TrainingMix {
     docs.withColumn("u", u).withColumn("rate", rate)
       .withColumn("keep", col("u") < col("rate"))
   }
+
+  /** Deterministic global shuffle for training order: order by a seeded
+    * content hash of the doc id. Same seed → identical order on any
+    * cluster size or partitioning (a `rand()` sort is neither reproducible
+    * nor resumable); changing the seed re-shuffles. md5 is used (not
+    * xxhash64) so the order is engine-portable — any SQL engine recomputes
+    * it byte-for-byte. Scale shape: one TakeOrdered-free range sort
+    * (Spark's sort-shuffle on the hash key, perfectly balanced because the
+    * key is uniform); the hash column is retained for resume ("continue
+    * after hash X" is a pushdown-friendly range predicate). */
+  def deterministicShuffle(docs: DataFrame, docId: String, seed: Long): DataFrame =
+    docs
+      .withColumn("shuffle_key", md5(concat_ws(":", lit(seed), col(docId).cast("string"))))
+      .orderBy(col("shuffle_key"), col(docId))
+
+  /** Hash-based train/holdout split: bucket = first 8 hex chars of the
+    * seeded md5 taken mod `buckets`; docs with bucket < holdoutBuckets go
+    * to eval. Deterministic, stable under corpus growth (membership
+    * depends only on the doc id — appending data never flips existing
+    * assignments, unlike fractional sampling by row position), and
+    * engine-portable for the same reason as [[deterministicShuffle]]. */
+  def holdoutSplit(docs: DataFrame, docId: String, seed: Long,
+                   buckets: Int = 100, holdoutBuckets: Int = 1): DataFrame = {
+    require(holdoutBuckets >= 0 && holdoutBuckets <= buckets)
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", lit(seed), col(docId).cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+    docs.withColumn("split_bucket", bucket)
+      .withColumn("split", when(col("split_bucket") < holdoutBuckets, "eval")
+        .otherwise("train"))
+  }
 }

@@ -58,4 +58,39 @@ class TrainingMixSpec extends SparkTestBase {
     assert(!out(3).getAs[Boolean]("keep"))  // books absent → rate 0
     assert(out(3).getAs[Double]("rate") == 0.0)
   }
+
+  test("deterministicShuffle: order invariant to partitioning, seed re-shuffles") {
+    import spark.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      TrainingMix.deterministicShuffle(df, "doc_id", seed)
+        .collect().map(_.getLong(0)).toSeq
+    val base = order(ids, 7L)
+    assert(order(ids.repartition(13), 7L) === base) // cluster-size independent
+    assert(base !== (1L to 200L)) // actually shuffled
+    assert(order(ids, 8L) !== base) // seed changes the permutation
+    // shuffle_key is the md5 Spark computes — engine-portable
+    val k = TrainingMix.deterministicShuffle(Seq(7L).toDF("doc_id"), "doc_id", 42L)
+      .collect()(0).getString(1)
+    assert(k === java.security.MessageDigest.getInstance("MD5")
+      .digest("42:7".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("holdoutSplit: stable under corpus growth, roughly proportional") {
+    import spark.implicits._
+    val small = (1L to 500L).toDF("doc_id")
+    val grown = (1L to 1000L).toDF("doc_id")
+    def evalSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      TrainingMix.holdoutSplit(df, "doc_id", seed = 42L, buckets = 10, holdoutBuckets = 1)
+        .filter("split = 'eval'").collect().map(_.getLong(0)).toSet
+    val e1 = evalSet(small); val e2 = evalSet(grown)
+    // appending docs never flips existing assignments
+    assert(e2.filter(_ <= 500L) === e1)
+    // ~10% with hash-uniform slack
+    assert(e2.size > 50 && e2.size < 150)
+    // buckets cover [0, buckets)
+    val buckets = TrainingMix.holdoutSplit(small, "doc_id", 42L, buckets = 10)
+      .select("split_bucket").distinct().collect().map(_.getLong(0)).toSet
+    assert(buckets.forall(b => b >= 0 && b < 10))
+  }
 }
