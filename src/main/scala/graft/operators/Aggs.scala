@@ -80,12 +80,13 @@ object Aggs {
       .groupBy(split.as("split"), key.as("key"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("split")).orderBy(desc("cnt"), asc("key"))
-    // persist: kept / cutoffs / totals all branch off this one aggregated
-    // frame — without it each branch re-scans and re-aggregates the SOURCE
-    // (3× the dominant cost at scale). The frame is per-(split, key)
-    // counts, already the protocol's reduced state.
-    val ranked = perSplit.withColumn("_rn", row_number().over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized ONCE (eager localCheckpoint): kept / cutoffs / totals
+    // all branch off this aggregated frame — unmaterialized, each branch
+    // re-scans and re-aggregates the SOURCE (3× the dominant cost at
+    // scale). localCheckpoint rather than persist: it keeps AQE for the
+    // aggregation beneath and leaves no cache-registry entry to leak (the
+    // blocks release when the plan is garbage collected).
+    val ranked = perSplit.withColumn("_rn", row_number().over(w)).localCheckpoint()
     val kept = ranked.filter(col("_rn") <= splitSize)
     val cutoffs = ranked.filter(col("_rn") > splitSize)
       .groupBy(col("split")).agg(max(col("cnt")).as("cutoff"))

@@ -370,26 +370,33 @@ object Dedup {
       return labels.select(col("node").as("doc_id"), col("rep"))
     }
     try {
-      // Convergence = Σrep unchanged: labels only ever DECREASE, so the sum
-      // strictly drops on any change — ONE aggregate action per round
-      // instead of a persist-then-antijoin probe (half the jobs).
-      var prevSum: java.math.BigDecimal = null
+      // Convergence probe fused into the round's single action: the
+      // propagation join already sees old and new rep side by side, so a
+      // `_changed` flag summed in one aggregate detects the fixpoint for
+      // ANY id type (a numeric-sum probe returned null on string ids and
+      // never converged — review r3 s5 finding #6).
+      var pinned = labels // the frame currently holding the round's cache
       var it = 0
       while (it < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("node").as("b"), col("rep").as("_nr")), "b")
           .groupBy(col("a").as("node")).agg(min(col("_nr")).as("_nbr"))
-        val next = labels.join(nbrMin, Seq("node"), "left")
+        val stepped = labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
-            least(col("rep"), coalesce(col("_nbr"), col("rep"))).as("rep"))
+            least(col("rep"), coalesce(col("_nbr"), col("rep"))).as("new_rep"),
+            col("rep").as("old_rep"))
           .persist()
-        val sum = next.agg(org.apache.spark.sql.functions.sum(
-          col("rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-        labels.unpersist()
-        labels = next
-        if (prevSum != null && sum.compareTo(prevSum) == 0)
+        val changed = stepped.agg(
+          org.apache.spark.sql.functions.sum(
+            when(col("new_rep") === col("old_rep"), 0L).otherwise(1L)).as("c"))
+          .collect()(0).getLong(0)
+        pinned.unpersist() // previous round's cache, not the derived view
+        pinned = stepped
+        labels = stepped.select(col("node"), col("new_rep").as("rep"))
+        if (changed == 0L)
+          // the final round's cache stays pinned under the returned frame —
+          // one (node, rep) row per clustered doc, released with the frame
           return labels.select(col("node").as("doc_id"), col("rep"))
-        prevSum = sum
         it += 1
       }
       throw new IllegalStateException(

@@ -70,11 +70,18 @@ case class LongToLeBytes(child: Expression) extends UnaryExpression {
     LongToLeBytes.encode(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"""byte[] _b = new byte[8];
-         |long _x = $v;
-         |for (int _i = 0; _i < 8; _i++) { _b[_i] = (byte) (_x & 0xffL); _x >>>= 8; }
-         |${ev.value} = _b;""".stripMargin)
+    nullSafeCodeGen(ctx, ev, v => {
+      // fresh names: two leBytes in one codegen scope must not redeclare
+      // the same locals (nullSafeCodeGen emits unbraced for non-nullable
+      // children)
+      val b = ctx.freshName("leb")
+      val x = ctx.freshName("lex")
+      val i = ctx.freshName("lei")
+      s"""byte[] $b = new byte[8];
+         |long $x = $v;
+         |for (int $i = 0; $i < 8; $i++) { $b[$i] = (byte) ($x & 0xffL); $x >>>= 8; }
+         |${ev.value} = $b;""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LongToLeBytes =
     copy(child = newChild)

@@ -283,6 +283,8 @@ object EsAggs {
     * searcher memory. */
   final class BucketCounter(limit: Int) {
     private var n = 0
+    /** How many more buckets may be collected (≥0). */
+    def remaining: Int = math.max(0, limit - n)
     def add(k: Int): Unit = {
       n += k
       if (n > limit) throw new IllegalArgumentException(
@@ -359,7 +361,10 @@ object EsAggs {
       case n @ Node(nm, _: Bucket, _) => (nm, bucketBodies(keyed, n, pathNames :+ kName, counter), n)
     }
 
-    val rows = keptFrame.collect().toSeq
+    // collect is BOUNDED by the remaining budget + 1 before it runs — a
+    // high-cardinality agg must abort with the limit error, not OOM the
+    // driver materializing every bucket first (the +1 row proves overflow)
+    val rows = keptFrame.limit(counter.remaining + 1).collect().toSeq
     counter.add(rows.size)
     val byParent = rows.groupBy(r => (0 until pathNames.size).map(r.get).toList: Seq[Any])
 

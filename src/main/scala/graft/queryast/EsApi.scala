@@ -80,6 +80,7 @@ object EsApi {
     // criterion's direction (collector.rs:316-341 generalized to desc)
     val afterFiltered = m.get("search_after").map { sa =>
       val vals = sa.asInstanceOf[Seq[Any]]
+      require(sortSpec.nonEmpty, "search_after requires a sort") // ES validation error
       require(vals.size == sortSpec.size,
         s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
       val cs = sortSpec.map { case (f, asc) => (col(f), asc) }

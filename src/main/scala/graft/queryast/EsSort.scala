@@ -14,12 +14,14 @@ import org.apache.spark.sql.Column
 object EsSort {
 
   /** quickwit's REST `sort_by` mini-DSL (quickwit-serve/src/search_api/
-    * rest_handler.rs:99-124): comma-separated fields, empty segments
-    * skipped, values trimmed — and the REFERENCE'S OWN quirk preserved
-    * exactly: a bare field AND a `+` prefix both sort DESCENDING, while
-    * `-` sorts ASCENDING (rest_handler.rs:106-113 maps both the
-    * `+`-stripped and the bare branch to SortOrder::Desc). Returns
-    * (field, ascending) pairs for [[compile]]. */
+    * rest_handler.rs:99-124), quirks preserved EXACTLY: a bare field AND a
+    * `+` prefix both sort DESCENDING while `-` sorts ASCENDING
+    * (rest_handler.rs:106-113 maps both the `+`-stripped and the bare
+    * branch to SortOrder::Desc); only literally-empty segments are
+    * skipped, and the sign is checked BEFORE trimming — ` -count` (leading
+    * space) is therefore a descending sort on the field `-count`, exactly
+    * as the reference parses it. Returns (field, ascending) for
+    * [[compile]]. */
   def parseMiniDsl(sortBy: String): Seq[(String, Boolean)] =
     sortBy.split(',').toSeq.filter(_.nonEmpty).map { seg =>
       if (seg.startsWith("+")) seg.drop(1).trim -> false

@@ -39,15 +39,15 @@ object QueryAst {
       val shouldCol =
         if (shoulds.isEmpty) None
         else Some(shoulds.reduce(_ || _))
-      val hard = musts ++ nots
-      (hard, shouldCol) match {
-        case (Nil, None)    => lit(true)
-        case (Nil, Some(s)) => s
-        case (h, None)      => h.reduce(_ && _)
-        // should is optional when must/filter present (ES semantics,
-        // minimum_should_match=0)
-        case (h, Some(_))   => h.reduce(_ && _)
-      }
+      // Lucene/ES minimum_should_match: should clauses are OPTIONAL only
+      // when a must/filter clause exists; with only should (+ any must_not
+      // — negations are not positive clauses) at least one should must
+      // match. Dropping should under a lone must_not returned every
+      // non-excluded doc (review r3 s5 finding #1).
+      val positive: Option[Column] =
+        if (musts.nonEmpty) Some(musts.reduce(_ && _))
+        else shouldCol
+      (positive.toSeq ++ nots).reduceOption(_ && _).getOrElse(lit(true))
     }
   }
 

@@ -22,6 +22,13 @@ package graft.queryast
   *  - unparseable bounds are SKIPPED, never errors (pruning is an
   *    optimization — root.rs:1224-1226 `else return`).
   *
+  * Timezone contract: bounds WITHOUT an explicit offset are interpreted at
+  * UTC — like the reference, whose zone-less input formats default to UTC.
+  * The conjunctive row filter casts the same literal in the SESSION
+  * timezone, so sessions must pin `spark.sql.session.timeZone=UTC` (every
+  * main and the test harness in this repo do) or pruning could disagree
+  * with the filter on offset-less literals.
+  *
   * One resolution divergence, documented: the reference quantizes every
   * bound to SECONDS (its split metadata stores secs), rounding an upper
   * bound up when it has a fractional second (root.rs:1244-1249). Our split

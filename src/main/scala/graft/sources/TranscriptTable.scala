@@ -169,6 +169,8 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
         case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
         case d: java.time.LocalDateTime =>
           d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+        case i: java.time.Instant => // java8 datetime API sessions
+          i.getEpochSecond * 1000000L + i.getNano / 1000
       }
       (us, r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
     }

@@ -2,7 +2,8 @@ package graft.util
 
 /** Minimal recursive-descent JSON parser (dependency-free; used only for the
   * manifest round-trip on the driver — never in an executor hot path).
-  * Numbers parse as Double; objects as Map[String, Any]; arrays as Seq[Any].
+  * Numbers parse as Double; objects as insertion-ordered Map[String, Any]
+  * (VectorMap); arrays as Seq[Any].
   */
 object Json {
 
@@ -35,8 +36,11 @@ object Json {
       }
     }
     private def obj(): Map[String, Any] = {
+      // VectorMap: preserves key INSERTION order at any size (a plain Map
+      // switches to hash order past 4 entries, which scrambled multi-field
+      // sort objects — review r3 s5 finding #9); == stays Map-compatible.
       expect('{'); ws()
-      val b = Map.newBuilder[String, Any]
+      val b = scala.collection.immutable.VectorMap.newBuilder[String, Any]
       if (s.charAt(pos) == '}') { pos += 1; return b.result() }
       while (true) {
         ws()

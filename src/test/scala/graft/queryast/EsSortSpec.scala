@@ -53,9 +53,13 @@ class EsSortSpec extends SparkTestBase {
     assert(EsSort.parseMiniDsl("ts") === Seq("ts" -> false))
     assert(EsSort.parseMiniDsl("+ts") === Seq("ts" -> false))
     assert(EsSort.parseMiniDsl("-ts") === Seq("ts" -> true))
-    // comma list, empty segments skipped, values trimmed
+    // comma list, literally-empty segments skipped
     assert(EsSort.parseMiniDsl("-ts,,+ count ,id") ===
       Seq("ts" -> true, "count" -> false, "id" -> false))
     assert(EsSort.parseMiniDsl("") === Nil)
+    // reference quirk preserved: the sign check precedes trimming, so a
+    // leading space makes `-count` a DESC sort on the field "-count"
+    // (rest_handler.rs:106-113)
+    assert(EsSort.parseMiniDsl(" -count") === Seq("-count" -> false))
   }
 }

@@ -42,6 +42,13 @@ class QueryAstSpec extends SparkTestBase {
     assert(ids(Bool(must = Seq(Term("text", "fox")), should = Seq(Term("text", "zzz")))) ===
       Set(1L, 4L, 5L))
     assert(ids(Bool()) === Set(1L, 2L, 3L, 4L, 5L))
+    // should + must_not WITHOUT must: negations are not positive clauses,
+    // so at least one should must still match (Lucene minimum_should_match
+    // = 1; dropping should here returned every non-excluded doc)
+    assert(ids(Bool(should = Seq(Term("text", "race")),
+      mustNot = Seq(Term("lang", "de")))) === Set(2L))
+    // must_not alone: pure exclusion over match-all
+    assert(ids(Bool(mustNot = Seq(Term("lang", "de")))) === Set(1L, 2L, 4L, 5L))
   }
 
   test("FullText: AND / OR modes") {
