@@ -14,7 +14,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("s_scan_project", "pipe_route_agg", "j_enrich", "a_terms",
-        "k_topk", "d_minhash_lsh", "sim_ann_brute")
+        "a_terms_distributed", "k_topk", "d_minhash_lsh", "d_dup_clusters",
+        "sim_ann_brute")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
