@@ -341,15 +341,13 @@ object Dedup {
     * tie-breaking). Returns (doc_id, rep); nodes touching no pair are not
     * emitted (they are their own singletons — callers left-join).
     *
-    * Scale shape: per round, ONE shuffle — edges ⋈ labels on the node key,
-    * then a min-aggregate; both frames are O(pairs), tiny next to the
-    * corpus. Rounds = component diameter; near-dup components from
-    * banded/prefix-filtered pair generation are near-cliques (diameter
-    * 2-3), so 3-4 rounds converge. The loop detects convergence with an
-    * isEmpty probe and THROWS past maxIter rather than returning a
-    * silently-unconverged labeling. O(log n) star-contraction algorithms
-    * (Kiveris et al., "Connected Components in MapReduce") only win on
-    * long-chain graphs dedup never produces. */
+    * Scale shape: per round, one edges ⋈ labels shuffle + min-aggregate
+    * plus a labels self-join for pointer jumping; all frames are O(pairs),
+    * tiny next to the corpus. Rounds = O(log diameter) thanks to the
+    * per-round path compression — near-clique dedup components converge in
+    * 2-4 rounds, and even a 40-node chain needs only ~7 (spec-pinned). The
+    * loop detects convergence with a fused changed-count and THROWS past
+    * maxIter rather than returning a silently-unconverged labeling. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     // Materialize the (possibly expensive) pair computation ONCE before the
     // loop via an EAGER localCheckpoint — not persist(): caching freezes a
@@ -364,45 +362,52 @@ object Dedup {
       .distinct().localCheckpoint()
     val nEdges = edges.count()
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("rep", col("node")).persist()
-    if (nEdges == 0L) {
-      edges.unpersist()
+      .withColumn("rep", col("node")).localCheckpoint()
+    if (nEdges == 0L)
       return labels.select(col("node").as("doc_id"), col("rep"))
+    // Convergence probe fused into the round's single action: the
+    // propagation join already sees old and new rep side by side, so a
+    // `_changed` flag summed in one aggregate detects the fixpoint for
+    // ANY id type (a numeric-sum probe returned null on string ids and
+    // never converged — review r3 s5 finding #6). Per round the frame is
+    // LAZY-localCheckpointed: the probe materializes it AND truncates the
+    // logical plan to a LogicalRDD — with persist() instead, every round's
+    // plan embeds the previous round's whole tree (InMemoryRelation keeps
+    // its child) and the ×4 references per round blow up plan rendering
+    // exponentially (AQE's explainString OOMed at round ~9).
+    var it = 0
+    while (it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("rep").as("_nr")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("_nr")).as("_nbr"))
+      val prop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("rep"), coalesce(col("_nbr"), col("rep"))).as("_mid"),
+          col("rep").as("old_rep"))
+      // pointer jump: rep := rep(rep) — path compression makes rounds
+      // O(log diameter) instead of O(diameter) (the Hash-to-Min /
+      // pointer-doubling idea, Rastogi et al., "Finding Connected
+      // Components in MapReduce"); one extra self-join per round over the
+      // tiny labels frame buys long chains (every rep is itself a node,
+      // so the lookup is total — left+coalesce is belt and braces)
+      val jump = prop.select(col("node").as("_mid"), col("_mid").as("_jump"))
+      val stepped = prop.join(jump, Seq("_mid"), "left")
+        .select(col("node"),
+          coalesce(col("_jump"), col("_mid")).as("new_rep"),
+          col("old_rep"))
+        .localCheckpoint(false)
+      val changed = stepped.agg(
+        org.apache.spark.sql.functions.sum(
+          when(col("new_rep") === col("old_rep"), 0L).otherwise(1L)).as("c"))
+        .collect()(0).getLong(0)
+      labels = stepped.select(col("node"), col("new_rep").as("rep"))
+      if (changed == 0L)
+        return labels.select(col("node").as("doc_id"), col("rep"))
+      it += 1
     }
-    try {
-      // Convergence probe fused into the round's single action: the
-      // propagation join already sees old and new rep side by side, so a
-      // `_changed` flag summed in one aggregate detects the fixpoint for
-      // ANY id type (a numeric-sum probe returned null on string ids and
-      // never converged — review r3 s5 finding #6).
-      var pinned = labels // the frame currently holding the round's cache
-      var it = 0
-      while (it < maxIter) {
-        val nbrMin = edges
-          .join(labels.select(col("node").as("b"), col("rep").as("_nr")), "b")
-          .groupBy(col("a").as("node")).agg(min(col("_nr")).as("_nbr"))
-        val stepped = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("rep"), coalesce(col("_nbr"), col("rep"))).as("new_rep"),
-            col("rep").as("old_rep"))
-          .persist()
-        val changed = stepped.agg(
-          org.apache.spark.sql.functions.sum(
-            when(col("new_rep") === col("old_rep"), 0L).otherwise(1L)).as("c"))
-          .collect()(0).getLong(0)
-        pinned.unpersist() // previous round's cache, not the derived view
-        pinned = stepped
-        labels = stepped.select(col("node"), col("new_rep").as("rep"))
-        if (changed == 0L)
-          // the final round's cache stays pinned under the returned frame —
-          // one (node, rep) row per clustered doc, released with the frame
-          return labels.select(col("node").as("doc_id"), col("rep"))
-        it += 1
-      }
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter exceeds the bound — raise maxIter)")
-    } finally edges.unpersist()
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds the bound — raise maxIter)")
   }
 
   /** Keep-one-per-cluster materialization: drop every doc whose cluster

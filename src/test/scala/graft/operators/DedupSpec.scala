@@ -234,4 +234,14 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.connectedComponents(chain, maxIter = 5)
       .collect().map(_.getLong(1)).forall(_ === 1L))
   }
+
+  test("connected components: pointer jumping converges long chains in O(log d)") {
+    import spark.implicits._
+    // 40-node path: plain min-propagation needs 39 rounds; with per-round
+    // path compression ~log2(39)+2 suffice
+    val longChain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_id1", "doc_id2")
+    val cc = Dedup.connectedComponents(longChain, maxIter = 9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 40 && cc.forall(_._2 === 1L))
+  }
 }
