@@ -95,16 +95,26 @@ object EsApi {
       if (size == 0) Nil
       else {
         val sortCols = EsSort.compile(sortSpec.map { case (f, asc) => (col(f), asc) }, id)
+        // `_index` (present on multi-index unions) is hit METADATA, not
+        // part of `_source`
+        val srcCols = df.columns.filterNot(_ == "_index").map(col).toSeq
+        val idxCol =
+          if (df.columns.contains("_index")) col("_index").as("_idx_v")
+          else lit(null).cast("string").as("_idx_v")
         val page = graft.operators.Aggs.paginate(
           afterFiltered.select(id.as("_id_v"),
-            to_json(struct(df.columns.map(col).toSeq: _*)).as("_src"),
-            array(sortSpec.map { case (f, _) => col(f).cast("string") }: _*).as("_sv")),
+            to_json(struct(srcCols: _*)).as("_src"),
+            array(sortSpec.map { case (f, _) => col(f).cast("string") }: _*).as("_sv"),
+            idxCol),
           sortCols, offset = from, k = size)
         page.collect().toSeq.map { r =>
           val idJ = r.get(0) match {
             case s: String => graft.operators.EsAggResponse.esc(s)
             case other     => other.toString
           }
+          val idxJ = Option(r.getAs[String]("_idx_v"))
+            .map(i => s""","_index":${graft.operators.EsAggResponse.esc(i)}""")
+            .getOrElse("")
           val sv = r.getAs[scala.collection.Seq[String]]("_sv")
           def svJson(v: String): String =
             if (v == null) "null"
@@ -113,7 +123,7 @@ object EsApi {
           val sortJ =
             if (sortSpec.isEmpty) ""
             else s""","sort":[${sv.map(svJson).mkString(",")}]"""
-          s"""{"_id":$idJ$sortJ,"_source":${r.getAs[String]("_src")}}"""
+          s"""{"_id":$idJ$idxJ$sortJ,"_source":${r.getAs[String]("_src")}}"""
         }
       }
     val aggsJson = m.get("aggs").orElse(m.get("aggregations")).map { _ =>
@@ -125,6 +135,30 @@ object EsApi {
     val hitsBlock =
       s""""hits":{"total":{"value":$total,"relation":"eq"},"hits":[${hitsJson.mkString(",")}]}"""
     s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}"""
+  }
+
+  /** Multi-index `_search` (es_compatibility/multi-indices scenarios;
+    * pattern resolution quickwit-config/src/lib.rs:123-151 via
+    * [[IndexPatterns]]): comma-separated ids/globs resolve against the
+    * known index set, the matching frames union with an `_index` metadata
+    * column (rendered per hit, excluded from `_source`), and the single
+    * unioned frame runs the normal search pipeline — one plan, one scan
+    * per member index. Frames must share a schema (index-template
+    * siblings, as in the reference scenarios). */
+  def searchMulti(indexes: Seq[(String, DataFrame)], resolver: FieldResolver,
+                  id: Column, patterns: String, bodyJson: String): String = {
+    val pats = patterns.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val selected = indexes.filter { case (name, _) =>
+      IndexPatterns.matches(pats, name) match {
+        case Right(m)  => m
+        case Left(err) => throw new IllegalArgumentException(err)
+      }
+    }
+    require(selected.nonEmpty, s"no index matches [$patterns]")
+    val unioned = selected.map { case (name, df) =>
+      df.withColumn("_index", lit(name))
+    }.reduce(_ unionByName _)
+    search(unioned, resolver, id, bodyJson)
   }
 
   // ---- _msearch ----------------------------------------------------------

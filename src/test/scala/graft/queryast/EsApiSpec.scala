@@ -125,4 +125,32 @@ class EsApiSpec extends SparkTestBase {
         """{"sort": ["doc_id"], "search_after": [1, 2]}""")
     }
   }
+
+  test("_search multi-index: glob resolution, per-hit _index, one unioned plan") {
+    import spark.implicits._
+    import graft.util.Json
+    val idx1 = Seq((1L, "alpha doc", "en")).toDF("doc_id", "text", "lang")
+    val idx2 = Seq((2L, "beta doc", "en")).toDF("doc_id", "text", "lang")
+    val other = Seq((9L, "off-pattern", "en")).toDF("doc_id", "text", "lang")
+    val indexes = Seq("gharchive-1" -> idx1, "gharchive-2" -> idx2, "other" -> other)
+    // glob pattern (multi-indices/0001 shape)
+    val got = Json.parse(EsApi.searchMulti(indexes, resolver, col("doc_id"),
+      "gharchive-*", """{"sort": ["doc_id"]}""")).asInstanceOf[Map[String, Any]]
+    val hits = got("hits").asInstanceOf[Map[String, Any]]
+    assert(hits("total") === Map("value" -> 2.0, "relation" -> "eq"))
+    val hs = hits("hits").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    assert(hs.map(h => (h("_id"), h("_index"))) ===
+      Seq((1.0, "gharchive-1"), (2.0, "gharchive-2")))
+    // _index is hit metadata, not _source
+    assert(!hs.head("_source").asInstanceOf[Map[String, Any]].contains("_index"))
+    // comma-separated exact ids (multi-indices/0001 third case)
+    val two = Json.parse(EsApi.searchMulti(indexes, resolver, col("doc_id"),
+      "gharchive-1,gharchive-2", "{}")).asInstanceOf[Map[String, Any]]
+    assert(two("hits").asInstanceOf[Map[String, Any]]("total") ===
+      Map("value" -> 2.0, "relation" -> "eq"))
+    // nothing matches → clear error
+    intercept[IllegalArgumentException] {
+      EsApi.searchMulti(indexes, resolver, col("doc_id"), "nope-*", "{}")
+    }
+  }
 }
