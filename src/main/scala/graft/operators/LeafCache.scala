@@ -43,14 +43,17 @@ final class LeafSearchCache(capacityBytes: Long) {
   def get(splitId: String, splitTsStart: Option[Long], splitTsEnd: Option[Long],
           requestFp: String, reqStart: Option[Long], reqEnd: Option[Long]): Option[Array[Byte]] =
     synchronized {
+      // defensive copy: entries must stay immutable even if a caller mutates
+      // the returned buffer (entries are small — bounded by the byte budget)
       Option(entries.get(key(splitId, splitTsStart, splitTsEnd, requestFp, reqStart, reqEnd)))
+        .map(_.clone())
     }
 
   def put(splitId: String, splitTsStart: Option[Long], splitTsEnd: Option[Long],
           requestFp: String, reqStart: Option[Long], reqEnd: Option[Long],
           value: Array[Byte]): Unit = synchronized {
     val k = key(splitId, splitTsStart, splitTsEnd, requestFp, reqStart, reqEnd)
-    val prev = entries.put(k, value)
+    val prev = entries.put(k, value.clone()) // own the bytes — see get()
     usedBytes += value.length - (if (prev == null) 0 else prev.length)
     // LRU eviction to the byte budget (MemorySizedCache analog)
     val it = entries.entrySet().iterator()

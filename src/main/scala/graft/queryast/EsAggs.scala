@@ -422,7 +422,7 @@ object EsAggs {
         val other = totals.getOrElse(path, 0L) - sorted.map(dc).sum
         s"""{"buckets":[${kept.mkString(",")}],"doc_count_error_upper_bound":0,"sum_other_doc_count":$other}"""
 
-      case Histogram(_, interval, _, minDoc, _, extendedBounds) =>
+      case Histogram(_, interval, offset, minDoc, _, extendedBounds) =>
         val byKey = cells.map(r => key(r).asInstanceOf[Double] -> r).toMap
         val bs =
           if (minDoc > 0L)
@@ -430,7 +430,9 @@ object EsAggs {
               s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
             }
           else {
-            def snap(v: Double): Double = math.floor(v / interval) * interval
+            // Snap with the offset so gap-fill keys land on the same grid as the
+            // data bucket keys (floor((v-offset)/interval)*interval+offset).
+            def snap(v: Double): Double = math.floor((v - offset) / interval) * interval + offset
             val dataRange = if (byKey.isEmpty) None else Some((byKey.keys.min, byKey.keys.max))
             val range = (dataRange, extendedBounds.map { case (l, h) => (snap(l), snap(h)) }) match {
               case (Some((dl, dh)), Some((el, eh))) => Some((math.min(dl, el), math.max(dh, eh)))

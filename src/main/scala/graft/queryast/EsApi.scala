@@ -75,6 +75,13 @@ object EsApi {
     val from = m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
     val sortSpec = m.get("sort").map(parseSort).getOrElse(Nil)
 
+    // `_score` is not a column: on this filter-only engine every match has
+    // the ES constant_score of 1.0 (the reference's sort-by-score path runs
+    // BM25; Scoring.bm25 exists for the query-language API — the ES envelope
+    // mirrors ES's behavior for non-scoring contexts instead of dying on an
+    // unresolved column).
+    def sortCol(f: String): Column = if (f == "_score") lit(1.0d) else col(f)
+
     val total = filtered.count() // ES total counts ALL matches, cursor-independent
     // search_after: resume strictly after the cursor tuple, respecting each
     // criterion's direction (collector.rs:316-341 generalized to desc)
@@ -83,7 +90,7 @@ object EsApi {
       require(sortSpec.nonEmpty, "search_after requires a sort") // ES validation error
       require(vals.size == sortSpec.size,
         s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
-      val cs = sortSpec.map { case (f, asc) => (col(f), asc) }
+      val cs = sortSpec.map { case (f, asc) => (sortCol(f), asc) }
       val pred = cs.indices.map { i =>
         (cs.take(i).zip(vals).map { case ((c, _), v) => c === lit(v) } :+
           (if (cs(i)._2) cs(i)._1 > lit(vals(i)) else cs(i)._1 < lit(vals(i))))
@@ -94,17 +101,27 @@ object EsApi {
     val hitsJson: Seq[String] =
       if (size == 0) Nil
       else {
-        val sortCols = EsSort.compile(sortSpec.map { case (f, asc) => (col(f), asc) }, id)
+        val sortCols = EsSort.compile(sortSpec.map { case (f, asc) => (sortCol(f), asc) }, id)
         // `_index` (present on multi-index unions) is hit METADATA, not
         // part of `_source`
         val srcCols = df.columns.filterNot(_ == "_index").map(col).toSeq
         val idxCol =
           if (df.columns.contains("_index")) col("_index").as("_idx_v")
           else lit(null).cast("string").as("_idx_v")
+        // Sort values travel with their NATIVE types (a struct of the raw
+        // sort columns, like EsAggs.keyJson) — casting to string and
+        // re-typing by regex rendered keyword values that LOOK numeric
+        // (id "123") as JSON numbers, so a client echoing hits[].sort back
+        // through search_after got a mis-typed cursor predicate.
+        val svCol =
+          if (sortSpec.isEmpty) lit(null).cast("string").as("_sv")
+          else struct(sortSpec.zipWithIndex.map { case ((f, _), i) =>
+            sortCol(f).as(s"c$i")
+          }: _*).as("_sv")
         val page = graft.operators.Aggs.paginate(
           afterFiltered.select(id.as("_id_v"),
             to_json(struct(srcCols: _*)).as("_src"),
-            array(sortSpec.map { case (f, _) => col(f).cast("string") }: _*).as("_sv"),
+            svCol,
             idxCol),
           sortCols, offset = from, k = size)
         page.collect().toSeq.map { r =>
@@ -115,14 +132,13 @@ object EsApi {
           val idxJ = Option(r.getAs[String]("_idx_v"))
             .map(i => s""","_index":${graft.operators.EsAggResponse.esc(i)}""")
             .getOrElse("")
-          val sv = r.getAs[scala.collection.Seq[String]]("_sv")
-          def svJson(v: String): String =
-            if (v == null) "null"
-            else if (v.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")) v
-            else graft.operators.EsAggResponse.esc(v)
           val sortJ =
             if (sortSpec.isEmpty) ""
-            else s""","sort":[${sv.map(svJson).mkString(",")}]"""
+            else {
+              val sv = r.getAs[org.apache.spark.sql.Row]("_sv")
+              val parts = (0 until sv.length).map(i => svJson(sv.get(i)))
+              s""","sort":[${parts.mkString(",")}]"""
+            }
           s"""{"_id":$idJ$idxJ$sortJ,"_source":${r.getAs[String]("_src")}}"""
         }
       }
@@ -135,6 +151,25 @@ object EsApi {
     val hitsBlock =
       s""""hits":{"total":{"value":$total,"relation":"eq"},"hits":[${hitsJson.mkString(",")}]}"""
     s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}"""
+  }
+
+  /** Render one hits[].sort value by its RUNTIME type: strings stay JSON
+    * strings (even when they look numeric), integral numerics render without
+    * a fraction, dates render as epoch millis (ES's wire form for date sort
+    * values). */
+  private def svJson(v: Any): String = v match {
+    case null                  => "null"
+    case s: String             => graft.operators.EsAggResponse.esc(s)
+    case d: java.lang.Double   =>
+      if (d.doubleValue.isWhole && math.abs(d.doubleValue) < 9.007199254740992e15)
+        d.longValue.toString
+      else d.toString
+    case f: java.lang.Float    => svJson(f.doubleValue)
+    case n: java.lang.Number   => n.toString
+    case b: java.lang.Boolean  => b.toString
+    case t: java.sql.Timestamp => t.getTime.toString
+    case i: java.time.Instant  => i.toEpochMilli.toString
+    case other                 => graft.operators.EsAggResponse.esc(String.valueOf(other))
   }
 
   /** Multi-index `_search` (es_compatibility/multi-indices scenarios;

@@ -20,8 +20,10 @@ sealed trait QueryAst {
 /** Resolves a field name to (column, is-text-tokenized). Text fields match
   * via the `default` tokenizer (term containment), others via typed equality.
   */
-final case class FieldResolver(textFields: Set[String], defaultFields: Seq[String]) {
+final case class FieldResolver(textFields: Set[String], defaultFields: Seq[String],
+                               tsFields: Set[String] = Set("ts")) {
   def isText(f: String): Boolean = textFields.contains(f)
+  def isTs(f: String): Boolean = tsFields.contains(f)
 }
 
 object QueryAst {
@@ -154,9 +156,20 @@ object QueryAst {
                          lte: Option[Any] = None, lt: Option[Any] = None) extends QueryAst {
     def toColumn(r: FieldResolver): Column = {
       val c = col(field)
+      // On the timestamp field, bounds MUST go through the same
+      // interpretation as TimestampPruning.interpretMicros (unit inference
+      // for integers, fractional seconds otherwise) — comparing the raw
+      // literal against a TimestampType column would let split pruning and
+      // the row filter disagree, breaking the "pruning never changes
+      // results" contract. Uninterpretable bounds fall back to the raw
+      // literal (and pruning skips them — still consistent).
+      def bound(v: Any): Column =
+        if (r.isTs(field))
+          TimestampPruning.interpretMicros(v).map(us => timestamp_micros(lit(us))).getOrElse(lit(v))
+        else lit(v)
       val parts = Seq(
-        gte.map(v => c >= lit(v)), gt.map(v => c > lit(v)),
-        lte.map(v => c <= lit(v)), lt.map(v => c < lit(v))).flatten
+        gte.map(v => c >= bound(v)), gt.map(v => c > bound(v)),
+        lte.map(v => c <= bound(v)), lt.map(v => c < bound(v))).flatten
       if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
     }
   }

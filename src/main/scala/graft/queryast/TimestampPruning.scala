@@ -54,8 +54,13 @@ object TimestampPruning {
     case null       => None
     case l: Long    => Some(inferUnitMicros(l))
     case i: Int     => Some(inferUnitMicros(i.toLong))
-    case d: Double  => Some((d * 1e6).toLong)
-    case f: Float   => Some((f.toDouble * 1e6).toLong)
+    // JSON parsers hand every number over as Double; serde in the reference
+    // dispatches i64-FIRST (date_time_type.rs:80-83), so a whole Double like
+    // 1704067200000 (epoch millis) must take the integer unit-inference path
+    // — only genuinely fractional values are fractional SECONDS.
+    case d: Double  => Some(if (d.isWhole && math.abs(d) < 9.2e18) inferUnitMicros(d.toLong)
+                            else (d * 1e6).toLong)
+    case f: Float   => interpretMicros(f.toDouble)
     case s: String  => interpretString(s)
     case t: java.sql.Timestamp =>
       Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
@@ -64,7 +69,7 @@ object TimestampPruning {
     case _ => None
   }
 
-  private def inferUnitMicros(epoch: Long): Long = {
+  private[queryast] def inferUnitMicros(epoch: Long): Long = {
     val a = math.abs(epoch)
     if (a < SecondsBound) epoch * 1000000L
     else if (a < SecondsBound * 1000L) epoch * 1000L

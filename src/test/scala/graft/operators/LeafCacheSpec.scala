@@ -76,4 +76,15 @@ class LeafCacheSpec extends AnyFunSuite {
     c.put("s1", None, None, "c", None, None, Array.fill[Byte](5)(2))
     assert(c.sizeBytes === 15L)
   }
+
+  test("entries are immutable: caller mutation of put/get buffers never corrupts") {
+    val c = new LeafSearchCache(100L)
+    val v = Array[Byte](1, 2, 3)
+    c.put("s1", None, None, "a", None, None, v)
+    v(0) = 99 // mutate AFTER put
+    val got = c.get("s1", None, None, "a", None, None).get
+    assert(got.toSeq === Seq[Byte](1, 2, 3))
+    got(1) = 42 // mutate the returned buffer
+    assert(c.get("s1", None, None, "a", None, None).get.toSeq === Seq[Byte](1, 2, 3))
+  }
 }

@@ -117,6 +117,21 @@ class EsAggsSpec extends SparkTestBase {
         |{"doc_count":4,"key":0.0},{"doc_count":0,"key":50.0},{"doc_count":3,"key":100.0}]}}""".stripMargin)
   }
 
+  test("histogram: offset + extended_bounds snap on the SAME offset grid as data keys") {
+    // data keys (interval 50, offset 5): 30/20→5, 100→55, 120/130→105;
+    // extended_bounds snap WITH the offset: 0→-45, 200→155. Snapping without
+    // the offset iterated 0,50,100,… — misaligned with byKey, so every real
+    // bucket was replaced by a zero-count gap bucket (ADVICE r3 #1).
+    check(
+      """{"query":{"match_all":{}},"aggs":{"metrics":{"histogram":
+        |{"field":"response","interval":50,"offset":5,
+        | "extended_bounds":{"min":0,"max":200}}}}}""".stripMargin,
+      """{"metrics":{"buckets":[
+        |{"doc_count":0,"key":-45.0},{"doc_count":4,"key":5.0},
+        |{"doc_count":1,"key":55.0},{"doc_count":2,"key":105.0},
+        |{"doc_count":0,"key":155.0}]}}""".stripMargin)
+  }
+
   test("unknown aggregation variant reproduces the reference error (root.rs:3513-3517)") {
     val e = intercept[IllegalArgumentException] {
       EsAggs.parse("""{"x":{"termss":{"field":"host"}}}""")

@@ -153,4 +153,39 @@ class EsApiSpec extends SparkTestBase {
       EsApi.searchMulti(indexes, resolver, col("doc_id"), "nope-*", "{}")
     }
   }
+
+  test("_search: sort by _score is the ES constant-score 1.0, not an unresolved column") {
+    import graft.util.Json
+    val got = Json.parse(EsApi.search(docs, resolver, col("doc_id"),
+      """{"size": 2, "query": {"term": {"lang": "en"}}, "sort": ["_score"]}"""))
+      .asInstanceOf[Map[String, Any]]
+    val hs = got("hits").asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    // all matches tie at score 1.0; _score default direction is DESC, so the
+    // implicit doc-addr tiebreaker follows it (EsSort contract) → ids desc
+    assert(hs.map(_("_id")) === Seq(2.0, 1.0))
+    assert(hs.map(_("sort")) === Seq(Seq(1.0), Seq(1.0)))
+  }
+
+  test("_search: sort values keep native types — numeric-LOOKING keywords stay strings") {
+    import graft.util.Json
+    import spark.implicits._
+    val kw = Seq((1L, "123", "a"), (2L, "45", "b"), (3L, "9", "c"))
+      .toDF("doc_id", "id_kw", "text")
+    def run(body: String): Seq[Map[String, Any]] =
+      Json.parse(EsApi.search(kw, resolver, col("doc_id"), body))
+        .asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Map[String, Any]]("hits")
+        .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    val first = run("""{"size": 1, "sort": ["id_kw"]}""")
+    // lexicographic order: "123" < "45" < "9"; the sort value is the STRING
+    // "123", not the number 123
+    assert(first.head("_id") === 1.0)
+    assert(first.head("sort") === Seq("123"))
+    // echoing the cursor back resumes with a correctly-TYPED predicate:
+    // after "123" lexicographically comes "45" (numeric typing would have
+    // compared 123.0 > 45 and skipped it)
+    val next = run("""{"size": 1, "sort": ["id_kw"], "search_after": ["123"]}""")
+    assert(next.head("_id") === 2.0)
+    assert(next.head("sort") === Seq("45"))
+  }
 }

@@ -132,4 +132,35 @@ class TimestampPruningSpec extends SparkTestBase {
     val got = scanned.filter(q.toColumn(resolver)).count()
     assert(got === micros.count(_ >= mid).toLong)
   }
+
+  test("whole Doubles take the i64-first unit-inference path (date_time_type.rs:80-83)") {
+    // JSON numbers arrive as Double; an epoch-millis bound must not be read
+    // as fractional seconds (year ~55000)
+    assert(TimestampPruning.interpretMicros(1.7040672e12) === Some(1704067200000000L))
+    // and a whole SECONDS-magnitude double likewise infers seconds
+    assert(TimestampPruning.interpretMicros(1.7040672e9) === Some(1704067200000000L))
+    // genuinely fractional doubles stay fractional seconds
+    assert(TimestampPruning.interpretMicros(1704067200.5) === Some(1704067200500000L))
+  }
+
+  test("Range.toColumn and pruning interpret numeric ts bounds identically (never lossy)") {
+    import spark.implicits._
+    val base = 1704067200L // 2024-01-01T00:00:00Z, seconds
+    val df = (0 until 10).map { i =>
+      (i.toLong, new java.sql.Timestamp((base + i * 60) * 1000L))
+    }.toDF("id", "ts")
+    val resolver = FieldResolver(Set.empty, Nil)
+    // programmatic Long epoch-MILLIS lower bound: rows from minute 5 on
+    val boundMillis = (base + 5 * 60) * 1000L
+    val q = Range("ts", gte = Some(boundMillis))
+    assert(df.filter(q.toColumn(resolver)).count() === 5L)
+    // the pruning window agrees with the filter — contract: pruning and the
+    // row filter can never disagree on the same bound
+    val (lo, hi) = TimestampPruning.refine(q, "ts")
+    assert(lo === Some(boundMillis * 1000L) && hi === None)
+    // JSON-shaped Double millis (ES DSL range) behaves the same
+    val qd = Range("ts", gte = Some(boundMillis.toDouble))
+    assert(df.filter(qd.toColumn(resolver)).count() === 5L)
+    assert(TimestampPruning.refine(qd, "ts")._1 === Some(boundMillis * 1000L))
+  }
 }
