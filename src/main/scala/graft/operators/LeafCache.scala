@@ -24,6 +24,8 @@ final class LeafSearchCache(capacityBytes: Long) {
 
   private val entries = new java.util.LinkedHashMap[Key, Array[Byte]](16, 0.75f, true)
   private var usedBytes = 0L
+  private var hitCount = 0L
+  private var missCount = 0L
 
   private def key(splitId: String, splitTsStart: Option[Long], splitTsEnd: Option[Long],
                   requestFp: String, reqStart: Option[Long], reqEnd: Option[Long]): Key = {
@@ -45,8 +47,11 @@ final class LeafSearchCache(capacityBytes: Long) {
     synchronized {
       // defensive copy: entries must stay immutable even if a caller mutates
       // the returned buffer (entries are small — bounded by the byte budget)
-      Option(entries.get(key(splitId, splitTsStart, splitTsEnd, requestFp, reqStart, reqEnd)))
-        .map(_.clone())
+      val got =
+        Option(entries.get(key(splitId, splitTsStart, splitTsEnd, requestFp, reqStart, reqEnd)))
+          .map(_.clone())
+      if (got.isDefined) hitCount += 1 else missCount += 1
+      got
     }
 
   def put(splitId: String, splitTsStart: Option[Long], splitTsEnd: Option[Long],
@@ -66,6 +71,8 @@ final class LeafSearchCache(capacityBytes: Long) {
 
   def sizeBytes: Long = synchronized(usedBytes)
   def numEntries: Int = synchronized(entries.size())
+  def hits: Long = synchronized(hitCount)
+  def misses: Long = synchronized(missCount)
 }
 
 object LeafSearchCache {

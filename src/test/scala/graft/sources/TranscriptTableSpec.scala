@@ -110,11 +110,22 @@ class TranscriptTableSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq === want5)
 
     // k spanning beyond one split opens the next; never lossy
+    // (batch = 1 = the reference-sequential order, exact opened set)
     val bigK = df.filter(s"unix_micros(ts) >= $c2").count().toInt + 3
-    val (topBig, openedBig) = table.topKByTs(bigK)
+    val (topBig, openedBig) = table.topKByTs(bigK, batch = 1)
     assert(openedBig.toSet === newest ++ filesOf(s =>
       s.timeRangeStartMicros >= c1 && s.timeRangeStartMicros < c2))
     assert(topBig.count() === bigK.toLong)
+
+    // concurrent batches (default): identical rows; slack bounded by the
+    // batch width — at most batch-1 splits the sequential bound would skip
+    val (topBigC, openedBigC) = table.topKByTs(bigK, batch = 4)
+    assert(topBigC.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+      .collect().map(_.toString).toSeq ===
+      topBig.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+        .collect().map(_.toString).toSeq)
+    assert(openedBigC.toSet.subsetOf(openedBig.toSet ++ filesOf(_ => true)))
+    assert(openedBigC.toSet.size <= openedBig.toSet.size + 3) // ≤ batch-1 extra
 
     // ascending sort mirrors with the OLDEST split
     val (topAsc, openedAsc) = table.topKByTs(5, desc = false)
@@ -124,16 +135,64 @@ class TranscriptTableSpec extends SparkTestBase {
     assert(topAsc.orderBy(col("ts").asc, col("conv_id"), col("turn_idx"))
       .collect().map(_.toString).toSeq === wantAsc)
 
-    // a filter that empties the newest split forces the scan onward
+    // a ts-bounded query is refined into the window (root.rs:1034): the
+    // two newer splits are pruned at METADATA level, never opened
     import graft.queryast.QueryAst
     val onlyOld = QueryAst.TsRange("ts", None, Some(c1))
     val (topF, openedF) = table.topKByTs(3, query = Some(onlyOld))
-    assert(openedF.size === 3 * 1 || openedF.toSet.size === 3) // all splits opened
+    assert(openedF.toSet === filesOf(_.timeRangeEndMicros < c1))
     val wantF = df.filter(s"unix_micros(ts) < $c1")
       .orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
       .limit(3).collect().map(_.toString).toSeq
     assert(topF.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
       .collect().map(_.toString).toSeq === wantF)
+  }
+
+  test("leaf cache: sliding windows hit for fully-covered splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ttable")
+    val table = new TranscriptTable(dir, spark)
+    val turns = TranscriptGen.turns(numConvs = 30, avgTurns = 6)
+    val micros = turns.map(_.ts.getTime * 1000L).sorted
+    val (c1, c2) = (micros(micros.size / 3), micros(2 * micros.size / 3))
+    val df = turns.toDS().toDF()
+    table.append(df.filter(s"unix_micros(ts) < $c1"), delta(-1, 1), numFiles = 1)
+    table.append(df.filter(s"unix_micros(ts) >= $c1 AND unix_micros(ts) < $c2"),
+      delta(1, 2), numFiles = 1)
+    table.append(df.filter(s"unix_micros(ts) >= $c2"), delta(2, 3), numFiles = 1)
+    val snap = table.store.currentSnapshot().get
+    def filesOf(pred: graft.publish.Manifest.SplitEntry => Boolean): Set[String] =
+      snap.splits.filter(pred).flatMap(_.files).map(_.replaceFirst("^file:", "")).toSet
+
+    val (lo, hi) = (micros.min, micros.max)
+    val k = turns.size // force every split to contribute
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
+        .collect().map(_.toString).toSeq
+
+    // cold: every split is a miss, all files open
+    val (a1, o1) = table.topKByTs(k, startMicros = Some(lo), endMicros = Some(hi + 1))
+    assert(o1.toSet === filesOf(_ => true))
+    assert(table.leafCache.misses === 3L && table.leafCache.hits === 0L)
+
+    // identical window replayed: every split hits, NO file is opened
+    val (a2, o2) = table.topKByTs(k, startMicros = Some(lo), endMicros = Some(hi + 1))
+    assert(o2.isEmpty)
+    assert(table.leafCache.hits === 3L)
+    assert(rows(a2) === rows(a1))
+
+    // SLID window still fully covering the two newer splits: they hit via
+    // the merged-range key (leaf_cache.rs:96-114); only the clipped oldest
+    // split re-opens
+    val w2lo = micros.min + 1
+    val (a3, o3) = table.topKByTs(k, startMicros = Some(w2lo), endMicros = Some(hi + 1000))
+    assert(o3.toSet === filesOf(_.timeRangeEndMicros < c1))
+    assert(table.leafCache.hits === 5L) // +2 interior hits
+    val expect3 = micros.count(_ >= w2lo).toLong
+    assert(a3.count() === expect3)
+    // frames identical on the shared suffix (window clip only trims the tail)
+    assert(rows(a3) === rows(a1.filter(unix_micros(col("ts")) >= w2lo)))
   }
 
   test("duplicate append delta is rejected by the manifest store") {
