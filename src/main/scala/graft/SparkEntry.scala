@@ -1389,6 +1389,52 @@ object SparkEntry {
               "all_immature", "same_level", "sources_disjoint", "leftover_ok")
     }),
 
+    // ---- merge EXECUTION: plan → rewrite → atomic publish → readback -----
+    // Content-preservation oracle (merge_executor.rs:184-463): 12 hash-
+    // keyed single-file splits are planned into 3 four-way merges, each
+    // batch is rewritten as one sorted zstd file group and published
+    // atomically with staged+replaced; the table is then read back THROUGH
+    // the merged splits and aggregated per role — DuckDB recomputes the
+    // same aggregate from the raw transcripts, so any lost/duplicated/
+    // mutated row breaks the hash. Structural facts (split count per plan,
+    // replaced ids gone, merge generation) ride as asserted booleans, the
+    // m_merge_plan pattern; crash-resume is MergeExecutorSpec's job.
+    "m_merge_execute" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mergeexec").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      val tr = transcripts(s, d)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      (0 until 12).foreach { i =>
+        table.append(
+          tr.filter(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(12L)) === i.toLong),
+          delta(i - 1, i), numFiles = 1)
+      }
+      val before = table.store.currentSnapshot().get
+      val cfg = MergePolicy.Config(mergeFactor = 3, maxMergeFactor = 4,
+        minLevelNumDocs = 1000000000L, splitNumDocsTarget = 10000000000L)
+      val plan = graft.publish.MergePolicy.planMerges(before.splits, cfg)
+      val res = graft.publish.MergeExecutor.run(dir, s, cfg)
+      val after = table.store.currentSnapshot().get
+      val ok =
+        before.splits.size == 12 && plan.size == 3 &&
+          res.merged.size == 3 && res.skipped == 0 &&
+          after.splits.size == 3 &&
+          after.splits.forall(_.numMergeOps == 1) &&
+          after.splits.forall(_.files.size == 1) &&
+          after.splits.map(_.numDocs).sum == before.splits.map(_.numDocs).sum &&
+          before.splits.map(_.splitId).toSet.intersect(
+            after.splits.map(_.splitId).toSet).isEmpty &&
+          after.checkpoint == before.checkpoint
+      table.scan()
+        .groupBy(col("role"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(octet_length(col("text"))).cast("long").as("n_bytes"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .withColumn("merge_ok", lit(ok))
+        .orderBy("role")
+    }),
+
     // ---- ES _bulk NDJSON ingest (elasticsearch_api/bulk.rs:79-143) ------
     // One bulk body per conversation (action+source line pairs in turn
     // order); turn_idx%9=0 plants a malformed action line, %4=0 a
@@ -2207,6 +2253,13 @@ object SparkEntry {
         |  TRUE AS sizes_in_bounds, TRUE AS all_immature, TRUE AS same_level,
         |  TRUE AS sources_disjoint, TRUE AS leftover_ok
         |FROM st WHERE num_docs < 10000000""".stripMargin),
+
+    "m_merge_execute" -> (TranscriptsCte +
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  TRUE AS merge_ok
+        |FROM transcripts GROUP BY role ORDER BY role""".stripMargin),
 
     "d_embed_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

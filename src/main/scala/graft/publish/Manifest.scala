@@ -116,9 +116,18 @@ object Manifest {
       cp.tryApply(delta) match {
         case Left((p, reason)) => Left(s"incompatible checkpoint delta on $p: $reason")
         case Right(next) =>
-          val kept = cur.splits.filterNot(s => replacedIds.contains(s.splitId))
-          val snap = Snapshot(cur.snapshotId + 1, kept ++ staged, next.positions)
-          commitSnapshot(snap)
+          // split ids are immutable and unique — re-publishing one (a merge
+          // rerun whose inputs somehow still look live, or an id collision)
+          // must fail rather than shadow the published split (the metastore
+          // rejects publishes of non-staged ids the same way)
+          val existing = cur.splits.map(_.splitId).toSet
+          staged.map(_.splitId).find(existing) match {
+            case Some(dup) => Left(s"split $dup is already published")
+            case None =>
+              val kept = cur.splits.filterNot(s => replacedIds.contains(s.splitId))
+              val snap = Snapshot(cur.snapshotId + 1, kept ++ staged, next.positions)
+              commitSnapshot(snap)
+          }
       }
     }
 
