@@ -318,6 +318,43 @@ object SparkEntry {
       docStats.join(termStats, Seq("partition_id")).orderBy("partition_id")
     }),
 
+    // ---- streaming fan-out + ledger resume (T1-T3 / S2 contract) ---------
+    // Two waves of input drain through the Structured-Streaming pipeline
+    // with the per-batch manifest ledger; between them the LAST batch is
+    // replayed (foreachBatch crash-redelivery) and must be rejected by the
+    // ledger's contiguous delta — counts land exactly once. DuckDB
+    // recomputes all three totals from the raw transcripts.
+    "pipe_stream_resume" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-streamres").toString
+      val (in, out, cp, ledgerDir) = (s"$base/in", s"$base/out", s"$base/cp", s"$base/ledger")
+      val cfg = graft.pipeline.IndexingPipeline.Config()
+      val (tools, roles) = graft.pipeline.IndexingPipeline.dims(s)
+      val tr = transcripts(s, d).select(col("conv_id"), col("turn_idx"),
+        col("role"), col("text"), col("tool"),
+        col("ts").cast("timestamp_ltz").as("ts"))
+      val waveKey = pmod(xxhash64(col("conv_id")), lit(2L))
+      tr.filter(waveKey === 0L).coalesce(2).write.mode("append").parquet(in)
+      graft.streaming.StreamingPipeline.start(s, in, out, cp, cfg,
+        ledgerDir = Some(ledgerDir)).awaitTermination()
+      val store = new graft.publish.Manifest.Store(ledgerDir)
+      val last1 = store.currentSnapshot().get.checkpoint("stream")
+      // wave 1 is 2 files < maxFilesPerTrigger = ONE batch: the full wave-1
+      // read is that batch's redelivered content
+      val replayAccepted = graft.streaming.StreamingPipeline.processBatch(
+        s.read.parquet(in), last1, out, tools, roles, cfg, Some(store))
+      tr.filter(waveKey === 1L).coalesce(2).write.mode("append").parquet(in)
+      graft.streaming.StreamingPipeline.start(s, in, out, cp, cfg,
+        ledgerDir = Some(ledgerDir)).awaitTermination()
+      val snap = store.currentSnapshot().get
+      val resumeOk = !replayAccepted && snap.checkpoint("stream") > last1
+      Seq((snap.splits.map(_.numDocs).sum,
+        s.read.parquet(s"$out/error_index").count(),
+        s.read.parquet(s"$out/dead_letter").count(),
+        resumeOk))
+        .toDF("ledger_docs", "error_rows", "dead_rows", "resume_ok")
+    }),
+
     "p_vrl_transform" -> ((s, d) =>
       // VRL-shaped source transform (P5/U2), the doc_processor pre-mapping
       // hook — compiled to codegen'd Columns by graft.parse.Vrl
@@ -1593,6 +1630,15 @@ object SparkEntry {
         |FROM parsed LEFT JOIN (VALUES ('purchase','sink_commerce'),('view','sink_web'),('click','sink_web'),('logger','sink_errors')) AS dim(eff_tool, sink)
         |  ON parsed.eff_tool = dim.eff_tool
         |WHERE call_status = 'ERR' OR is_err_sev""".stripMargin),
+
+    "pipe_stream_resume" -> (TranscriptsCte +
+      """SELECT CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ledger_docs,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND
+        |    (regexp_extract(text, 'CALL ([A-Za-z_][A-Za-z0-9_]*)\(([^)]*)\) -> (OK|ERR)', 3) = 'ERR'
+        |     OR text LIKE 'ERROR%') THEN 1 ELSE 0 END) AS BIGINT) AS error_rows,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dead_rows,
+        |  TRUE AS resume_ok
+        |FROM transcripts""".stripMargin),
 
     "pipe_rollup" -> (TranscriptsCte +
       """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

@@ -33,11 +33,23 @@ object StreamingPipeline {
     * micro-batch runs parse → enrich → route and appends to the three sinks
     * plus per-batch split stats. `AvailableNow` drains what exists and
     * stops — the bounded-source test/ops mode; pass a processing-time
-    * trigger for continuous tailing. */
+    * trigger for continuous tailing.
+    *
+    * When `ledgerDir` is set, every micro-batch also PUBLISHES one manifest
+    * entry under a contiguous per-batch checkpoint delta — the publisher +
+    * metastore commit the reference runs per split
+    * (publisher.rs:101-150, checkpoint.rs:290). Spark's foreachBatch is
+    * at-least-once: after a crash the same batchId replays, the sink
+    * overwrites land on the same paths, and the ledger publish is REJECTED
+    * as an overlapping delta — the replay is a no-op and the ledger stays
+    * exactly-once, which is the resume contract a Kafka-backed source
+    * would need (source/kafka_source.rs semantics, no broker offline). */
   def start(spark: SparkSession, inputDir: String, outDir: String,
             checkpointDir: String, cfg: IndexingPipeline.Config = IndexingPipeline.Config(),
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            ledgerDir: Option[String] = None): StreamingQuery = {
     val (tools, roles) = IndexingPipeline.dims(spark)
+    val ledger = ledgerDir.map(new graft.publish.Manifest.Store(_))
     val stream = spark.readStream
       .schema(transcriptSchema)
       .option("maxFilesPerTrigger", 16) // 5 MiB-batch analog: bounded batches
@@ -48,22 +60,58 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (routed0, dead) = IndexingPipeline.parseEnrichRoute(batch, tools, roles, cfg)
-        val routed = routed0.repartition(cfg.shufflePartitions, col("partition_id")).persist()
-        try {
-          // batch-scoped partition dirs + overwrite ⇒ idempotent under
-          // foreachBatch replay (see class doc); readers see batch_id as a
-          // discovered partition column
-          routed.filter(col("call_status") === "ERR" || col("severity") === "ERROR")
-            .write.mode("overwrite").option("compression", "zstd")
-            .partitionBy("sink").parquet(s"$outDir/error_index/batch_id=$batchId")
-          dead.write.mode("overwrite").parquet(s"$outDir/dead_letter/batch_id=$batchId")
-          IndexingPipeline.splitAggregates(routed, cfg)
-            .write.mode("overwrite").parquet(s"$outDir/split_stats/batch_id=$batchId")
-        } finally routed.unpersist()
+        processBatch(batch, batchId, outDir, tools, roles, cfg, ledger)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of the 3-sink fan-out (+ optional ledger publish).
+    * Public so specs and the driver query can REPLAY a batch directly —
+    * simulating foreachBatch's crash-redelivery — and prove idempotence:
+    * same batchId ⇒ same sink paths overwritten with the same rows, ledger
+    * publish rejected as an overlapping delta. Returns true when the
+    * ledger accepted the batch (or no ledger is configured), false for a
+    * replayed/already-committed batch. */
+  def processBatch(batch: DataFrame, batchId: Long, outDir: String,
+                   tools: DataFrame, roles: DataFrame,
+                   cfg: IndexingPipeline.Config,
+                   ledger: Option[graft.publish.Manifest.Store] = None): Boolean = {
+    val (routed0, dead) = IndexingPipeline.parseEnrichRoute(batch, tools, roles, cfg)
+    val routed = routed0.repartition(cfg.shufflePartitions, col("partition_id")).persist()
+    try {
+      // batch-scoped partition dirs + overwrite ⇒ idempotent under
+      // foreachBatch replay (see class doc); readers see batch_id as a
+      // discovered partition column
+      routed.filter(col("call_status") === "ERR" || col("severity") === "ERROR")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("sink").parquet(s"$outDir/error_index/batch_id=$batchId")
+      dead.write.mode("overwrite").parquet(s"$outDir/dead_letter/batch_id=$batchId")
+      IndexingPipeline.splitAggregates(routed, cfg)
+        .write.mode("overwrite").parquet(s"$outDir/split_stats/batch_id=$batchId")
+      ledger.forall { store =>
+        val r = routed.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)).as("bytes"),
+          unix_micros(min(col("ts")).cast("timestamp_ltz")).as("min_us"),
+          unix_micros(max(col("ts")).cast("timestamp_ltz")).as("max_us")).collect()(0)
+        val entry = graft.publish.Manifest.SplitEntry(
+          splitId = s"stream-batch-$batchId",
+          partitionId = 0L,
+          numDocs = r.getAs[Long]("n"),
+          uncompressedBytes = r.getAs[Long]("bytes"),
+          timeRangeStartMicros = Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          timeRangeEndMicros = Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          tags = Nil, termCardinality = 0L, postingsCount = 0L,
+          numMergeOps = 0, deleteOpstamp = 0L,
+          files = Seq(s"$outDir/error_index/batch_id=$batchId",
+            s"$outDir/dead_letter/batch_id=$batchId",
+            s"$outDir/split_stats/batch_id=$batchId"))
+        store.publish(Seq(entry), Set.empty,
+          graft.publish.Checkpoint.Delta(Seq(
+            graft.publish.Checkpoint.PartitionDelta("stream", batchId - 1, batchId)))).isRight
+      }
+    } finally routed.unpersist()
   }
 
   /** Streaming per-conversation rollup with event-time windows + watermark —

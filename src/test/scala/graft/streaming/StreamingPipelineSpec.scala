@@ -53,6 +53,55 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(sinks.exists(s => s != null && s.startsWith("sink_")))
   }
 
+  test("ledger resume: kill/restart + batch replay land exactly-once counts") {
+    val in = tmpDir("stream_in4"); val out = tmpDir("stream_out4")
+    val cp = tmpDir("stream_cp4"); val ledgerDir = tmpDir("stream_ledger4")
+    val cfg = graft.pipeline.IndexingPipeline.Config()
+    val (tools, roles) = graft.pipeline.IndexingPipeline.dims(spark)
+
+    // wave 1 → drain; the ledger commits one entry per micro-batch
+    writeBatch(in, seed = 7L, convs = 40)
+    StreamingPipeline.start(spark, in, out, cp, cfg,
+      ledgerDir = Some(ledgerDir)).awaitTermination()
+    val store = new graft.publish.Manifest.Store(ledgerDir)
+    val snap1 = store.currentSnapshot().get
+    val routedAll1 = graft.pipeline.IndexingPipeline.parseEnrichRoute(
+      spark.read.parquet(in), tools, roles, cfg)._1.count()
+    assert(snap1.splits.map(_.numDocs).sum === routedAll1)
+
+    // crash-redelivery: REPLAY the last committed batch directly — the
+    // ledger rejects the overlapping delta, sinks overwrite in place.
+    // Wave 1 is 2 files < maxFilesPerTrigger, i.e. exactly ONE micro-batch,
+    // so the full wave-1 read IS that batch's redelivered content.
+    val lastBatch = snap1.checkpoint("stream")
+    assert(lastBatch === 0L && snap1.splits.size === 1)
+    val errBefore = spark.read.parquet(s"$out/error_index").count()
+    val accepted = StreamingPipeline.processBatch(
+      spark.read.parquet(in), lastBatch, out, tools, roles, cfg, Some(store))
+    assert(!accepted) // replay is a no-op at the ledger
+    assert(store.currentSnapshot().get.splits.map(_.numDocs).sum === routedAll1)
+
+    // wave 2 → restart from the checkpoint: only the delta processes,
+    // batch ids continue, the ledger deltas stay contiguous
+    writeBatch(in, seed = 8L, convs = 25)
+    StreamingPipeline.start(spark, in, out, cp, cfg,
+      ledgerDir = Some(ledgerDir)).awaitTermination()
+    val snap2 = store.currentSnapshot().get
+    val routedAll2 = graft.pipeline.IndexingPipeline.parseEnrichRoute(
+      spark.read.parquet(in), tools, roles, cfg)._1.count()
+    assert(snap2.splits.map(_.numDocs).sum === routedAll2)
+    assert(snap2.checkpoint("stream") > lastBatch)
+    // sink parity with an uninterrupted batch run over the full input
+    val errAll = graft.pipeline.IndexingPipeline.parseEnrichRoute(
+      spark.read.parquet(in), tools, roles, cfg)._1
+      .filter(col("call_status") === "ERR" || col("severity") === "ERROR").count()
+    assert(spark.read.parquet(s"$out/error_index").count() === errAll)
+    assert(errBefore <= errAll)
+    val deadAll = graft.pipeline.IndexingPipeline.parseEnrichRoute(
+      spark.read.parquet(in), tools, roles, cfg)._2.count()
+    assert(spark.read.parquet(s"$out/dead_letter").count() === deadAll)
+  }
+
   test("windowed rollup emits closed windows with stable turn order") {
     val in = tmpDir("stream_in3"); val out = tmpDir("stream_out3"); val cp = tmpDir("stream_cp3")
     writeBatch(in, seed = 4L, convs = 30)
