@@ -1223,6 +1223,42 @@ object SparkEntry {
         .withColumn("span_id",
           concat(col("event_id").cast("string"), lit("#"), col("span_idx").cast("string")))),
 
+    // ---- OTLP protobuf ingest arm (doc_processor.rs:154-161) -------------
+    // Round-trip oracle: transcripts are batched into one
+    // ExportLogsServiceRequest per conversation (executor-side encode —
+    // the per-batch shape every OTLP exporter ships), then the protobuf
+    // arm decodes and 1→N-explodes them back into log docs; DuckDB
+    // recomputes the expected rows straight from transcripts, so any
+    // wire-format bug (varint, fixed64, nesting, absent body) breaks the
+    // hash. Both hops are narrow per-group work; the only shuffle is the
+    // conversation grouping.
+    "p_otlp_proto" -> ((s, d) => {
+      import s.implicits._
+      val tr = transcripts(s, d).select(
+        col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"),
+        unix_micros(col("ts").cast("timestamp_ltz")).as("ts_us"))
+      val payloads = tr
+        .as[(String, Int, String, Option[String], Option[String], Long)]
+        .groupByKey(_._1)
+        .mapGroups { (conv, it) =>
+          val recs = it.toSeq.sortBy(_._2).map { case (_, idx, role, text, tool, us) =>
+            graft.parse.OtlpProto.LogRecord(us * 1000L, idx % 24 + 1, role, text,
+              Seq("turn_idx" -> idx.toString) ++ tool.map("tool" -> _))
+          }
+          graft.parse.OtlpProto.encode(
+            graft.parse.OtlpProto.LogsRequest(Seq("conv_id" -> conv), recs))
+        }
+      payloads.flatMap { bytes =>
+        val req = graft.parse.OtlpProto.decode(bytes)
+        val conv = req.resourceAttributes.toMap.getOrElse("conv_id", "")
+        req.records.map { r =>
+          val attrs = r.attributes.toMap
+          (conv, attrs("turn_idx").toInt, r.severityText, r.body, attrs.get("tool"),
+            r.timeUnixNano / 1000L, r.severityNumber)
+        }
+      }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts_us", "sev_num")
+    }),
+
     // ---- tag-pruned scan (tag_pruning.rs:40-160 at root.rs:1041) ---------
     // Builds a two-batch table whose file groups carry disjoint role tags,
     // then scans with a Term query on the tag field: the non-matching file
@@ -2137,6 +2173,11 @@ object SparkEntry {
       """SELECT event_id, CAST(s AS INT) AS span_idx,
         |  CAST(event_id AS VARCHAR) || '#' || CAST(s AS VARCHAR) AS span_id
         |FROM events, unnest(generate_series(1, CAST(event_id % 3 + 1 AS BIGINT))) t(s)""".stripMargin,
+
+    "p_otlp_proto" -> (TranscriptsCte +
+      """SELECT conv_id, turn_idx, role, text, tool,
+        |  epoch_us(ts) AS ts_us, CAST(turn_idx % 24 + 1 AS INT) AS sev_num
+        |FROM transcripts""".stripMargin),
 
     "p_doc_to_json" ->
       """SELECT doc_id,
