@@ -105,17 +105,48 @@ object Tokenizers {
     default(regexp_replace(coalesce(c, lit("")), s"($cjk)", " $1 "))
   }
 
+  /** Japanese segmentation without a dictionary — script-run segmentation
+    * plus a small embedded particle/auxiliary lexicon (the reference links
+    * Lindera's ipadic tokenizer, multilang.rs:65-150; no dictionaries exist
+    * offline). Three break rules as codegen'd regex passes:
+    *  1. kanji runs and katakana runs (incl. the ー prolonged-sound mark)
+    *     become tokens — script-transition breaks;
+    *  2. a single-char particle/connective at the START of a hiragana run
+    *     (i.e. right after a content word) is detached (が を は の に…);
+    *  3. a sentence-final auxiliary at the END of a hiragana run is
+    *     detached (です ます ました…).
+    * Kanji+okurigana compounds (好き → 好 き) still split at the script
+    * transition — the documented divergence vs a dictionary tokenizer. */
+  def jpnSegment(body: Column): Column = {
+    val hira = "\\p{IsHiragana}"
+    val runs = regexp_replace(concat(lit(" "), body),
+      "(\\p{IsHan}+|[\\p{IsKatakana}\\x{30FC}]+)", " $1 ")
+    val particles = regexp_replace(runs,
+      s"(?<=\\s)(は|が|を|に|で|と|の|へ|も|や|て)(?=$hira)", "$1 ")
+    regexp_replace(particles,
+      s"(?<=$hira)(でした|ました|ません|です|ます|ない|たい)(?=\\s|$$)", " $1")
+  }
+
+  /** Korean: eojeol (whitespace) units with one trailing case particle
+    * (josa) detached via a small embedded lexicon — the dictionary-free
+    * slice of Lindera ko-dic morphology (multilang.rs Korean arm). */
+  def korSegment(body: Column): Column =
+    regexp_replace(body,
+      "(?<=\\p{IsHangul})(에서|에게|으로|부터|까지|처럼|보다|한테|은|는|이|가|을|를|에|의|도|만|와|과|로)(?=\\s|$)",
+      " $1")
+
   /** multilang: per-value language detection (or an explicit `ENG:`/`CMN:`/
     * `JPN:`/`KOR:` prefix override) dispatching to a per-language analyzer
     * (tokenizers/multilang.rs:65-150). Detection is [[LangDetect]] — script
     * blocks decide CJK outright, latin text scores against embedded
     * function-word profiles (whichlang's decision shape; r2's script-
     * presence dispatch misread latin-script non-English as `eng`).
-    * Remaining documented divergence: Japanese/Korean segment per-CJK-char/
-    * by-script-run (the reference links the Lindera dictionary tokenizer —
-    * no dictionaries exist offline). The dispatch shape, prefix contract and
-    * CMN/ENG paths match — all non-CJK languages take the default analyzer,
-    * exactly as the reference's `_ => SimpleTokenizer` arm. */
+    * JPN/KOR segment by [[jpnSegment]]/[[korSegment]] — script runs + an
+    * embedded particle lexicon standing in for the reference's Lindera
+    * dictionaries (absent offline; divergences documented there). The
+    * dispatch shape, prefix contract and CMN/ENG paths match — all non-CJK
+    * languages take the default analyzer, exactly as the reference's
+    * `_ => SimpleTokenizer` arm. */
   def multilang(c: Column): Column = {
     val t = coalesce(c, lit(""))
     val prefix = substring(t, 1, 4)
@@ -124,10 +155,9 @@ object Tokenizers {
     val lang = when(prefix === "ENG:", "eng").when(prefix === "CMN:", "cmn")
       .when(prefix === "JPN:", "jpn").when(prefix === "KOR:", "kor")
       .otherwise(LangDetect.detectLanguage(body))
-    // kana/hangul treated like the CJK split: insert breaks per script char
-    val cjkAll = "[\\x{3400}-\\x{9FFF}\\x{20000}-\\x{2CEAF}\\x{3040}-\\x{30FF}]"
     when(lang === "cmn", chineseCompatible(body))
-      .when(lang.isin("jpn", "kor"), default(regexp_replace(body, s"($cjkAll)", " $1 ")))
+      .when(lang === "jpn", default(jpnSegment(body)))
+      .when(lang === "kor", default(korSegment(body)))
       .otherwise(default(body))
   }
 

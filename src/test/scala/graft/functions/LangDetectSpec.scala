@@ -24,7 +24,11 @@ class LangDetectSpec extends SparkTestBase {
     ("por", "Uma mulher com o seu filho caminha para ver as flores"),
     ("cmn", "你好世界这是一个测试"),
     ("jpn", "これはテストですさくら"),
+    ("jpn", "東京タワーはパリのエッフェル塔に似ています"),
+    ("jpn", "コーヒーを飲みます"),
     ("kor", "안녕하세요 세계 이것은 테스트입니다"),
+    ("kor", "나는 학교에 갑니다"),
+    ("kor", "도서관에서 책을 읽어요"),
     ("rus", "Привет мир это тест"),
     ("ara", "مرحبا بالعالم هذا اختبار"),
     ("hin", "नमस्ते दुनिया यह एक परीक्षण है"))

@@ -111,8 +111,34 @@ class TokenizersSpec extends SparkTestBase {
     assert(evalTokens("你好 world", Tokenizers.multilang) === Seq("你", "好", "world"))
     assert(evalTokens("Hello happy tax payer", Tokenizers.multilang) ===
       Seq("hello", "happy", "tax", "payer"))
-    // kana splits per char (no-dictionary fallback, documented divergence)
-    assert(evalTokens("JPN:すもも", Tokenizers.multilang) === Seq("す", "も", "も"))
+    // an all-hiragana content word stays ONE token (script-run
+    // segmentation; the old per-char fallback gave す/も/も)
+    assert(evalTokens("JPN:すもも", Tokenizers.multilang) === Seq("すもも"))
+  }
+
+  test("multilang JPN: script runs + particle lexicon segment like a dictionary") {
+    // MeCab(ipadic) gives 東京/タワー/は/パリ/の/エッフェル/塔/に/似/て/い/ます
+    assert(evalTokens("JPN:東京タワーはパリのエッフェル塔に似ています", Tokenizers.multilang) ===
+      Seq("東京", "タワー", "は", "パリ", "の", "エッフェル", "塔", "に", "似", "て", "い", "ます"))
+    // kanji+okurigana splits at the script transition (documented
+    // divergence: dictionary gives 好き as one morpheme)
+    assert(evalTokens("JPN:猫が好きです", Tokenizers.multilang) ===
+      Seq("猫", "が", "好", "き", "です"))
+    // katakana loanword with prolonged-sound mark is one token
+    assert(evalTokens("JPN:コーヒーを飲みます", Tokenizers.multilang) ===
+      Seq("コーヒー", "を", "飲", "み", "ます"))
+  }
+
+  test("multilang KOR: eojeol units with trailing josa detached") {
+    // 나/는 학교/에 갑니다 — case particles split off, verb stays whole
+    assert(evalTokens("KOR:나는 학교에 갑니다", Tokenizers.multilang) ===
+      Seq("나", "는", "학교", "에", "갑니다"))
+    // longest-match josa (에서 before 에); bare eojeol without josa intact
+    assert(evalTokens("KOR:도서관에서 책을 읽어요", Tokenizers.multilang) ===
+      Seq("도서관", "에서", "책", "을", "읽어요"))
+    // auto-detected (no prefix): hangul script decides
+    assert(evalTokens("안녕하세요 세계", Tokenizers.multilang) ===
+      Seq("안녕하세요", "세계"))
   }
 
   test("byName resolves every registered tokenizer") {
