@@ -1508,6 +1508,40 @@ object SparkEntry {
         .orderBy("role")
     }),
 
+    // ---- delete-task EXECUTION (merge_executor.rs:290-456) ---------------
+    // Two delete rounds over a 3-split table exercise all three arms:
+    // round 1 (opstamp 5, role:assistant) bumps two splits and REWRITES the
+    // mixed one without its matching docs; round 2 (opstamp 9, role:tool)
+    // drops the all-matching split OUTRIGHT and bumps the rest. The table
+    // is read back through the rewritten splits; DuckDB recomputes the
+    // surviving per-role aggregate from the raw transcripts. Structural
+    // facts (opstamps current, arm counts) ride as an asserted boolean.
+    "m_delete_execute" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-delexec").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      val tr = transcripts(s, d)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      table.append(tr.filter(col("role") === "tool"), delta(-1, 1), numFiles = 1)
+      table.append(tr.filter(col("role") === "user"), delta(1, 2), numFiles = 1)
+      table.append(tr.filter(col("role").isin("assistant", "system")), delta(2, 3), numFiles = 1)
+      val r1 = graft.publish.DeleteExecutor.run(dir, s,
+        Seq(graft.publish.DeleteExecutor.DeleteTask(5L, graft.queryast.QueryAst.Term("role", "assistant"))))
+      val r2 = graft.publish.DeleteExecutor.run(dir, s,
+        Seq(graft.publish.DeleteExecutor.DeleteTask(9L, graft.queryast.QueryAst.Term("role", "tool"))))
+      val snap = table.store.currentSnapshot().get
+      val ok = r1.bumped.size == 2 && r1.rewritten.size == 1 &&
+        r2.rewritten.isEmpty && r2.deletedDocs > 0 &&
+        snap.splits.size == 2 && snap.splits.forall(_.deleteOpstamp == 9L)
+      table.scan()
+        .groupBy(col("role"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(octet_length(col("text"))).cast("long").as("n_bytes"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .withColumn("delete_ok", lit(ok))
+        .orderBy("role")
+    }),
+
     // ---- ES _bulk NDJSON ingest (elasticsearch_api/bulk.rs:79-143) ------
     // One bulk body per conversation (action+source line pairs in turn
     // order); turn_idx%9=0 plants a malformed action line, %4=0 a
@@ -2347,6 +2381,14 @@ object SparkEntry {
         |  min(ts) AS first_ts, max(ts) AS last_ts,
         |  TRUE AS merge_ok
         |FROM transcripts GROUP BY role ORDER BY role""".stripMargin),
+
+    "m_delete_execute" -> (TranscriptsCte +
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  TRUE AS delete_ok
+        |FROM transcripts WHERE role NOT IN ('assistant', 'tool')
+        |GROUP BY role ORDER BY role""".stripMargin),
 
     "d_embed_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

@@ -1,0 +1,105 @@
+package graft.publish
+
+import graft.publish.Manifest.SplitEntry
+import graft.queryast.{FieldResolver, QueryAst}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Physical delete-task execution — the janitor's delete path of the merge
+  * executor (quickwit-indexing/src/actors/merge_executor.rs:290-456):
+  * [[DeleteTaskPlanner]] decides WHICH stale splits face pending delete
+  * queries; this executor applies them.
+  *
+  * Per stale split, with the pending tasks whose opstamp exceeds the
+  * split's `delete_opstamp`:
+  *  - count the docs matching ANY applicable delete query in ONE scan;
+  *  - zero matches → the `bump_opstamp` arm: republish the SAME split id
+  *    with `delete_opstamp = max(task opstamps)` and untouched files — a
+  *    metadata-only update (`update_splits_delete_opstamp`, no rewrite);
+  *  - otherwise the `delete_and_merge` arm: rewrite the split WITHOUT the
+  *    matching docs into a new `delete-<opstamp>-…` split (stats
+  *    recomputed during the same cached pass), `num_merge_ops + 1`, and
+  *    publish staged+replaced atomically with an empty checkpoint delta.
+  *
+  * Crash safety mirrors [[MergeExecutor]]: data lands before the manifest
+  * flips; the rewritten id is a pure function of (input id, opstamp) so a
+  * rerun overwrites the same staged dir; replaced files become GC food.
+  * A rerun after success finds `delete_opstamp` current everywhere and is
+  * a no-op.
+  */
+object DeleteExecutor {
+
+  /** A stored delete query (delete_task.proto's DeleteQuery analog). */
+  final case class DeleteTask(opstamp: Long, query: QueryAst)
+
+  final case class Result(rewritten: Seq[SplitEntry], bumped: Seq[SplitEntry],
+                          deletedDocs: Long)
+
+  def rewrittenSplitId(splitId: String, opstamp: Long): String =
+    s"delete-$opstamp-$splitId"
+
+  def run(tableDir: String, spark: SparkSession, tasks: Seq[DeleteTask],
+          resolver: FieldResolver = FieldResolver(Set("text"), Seq("text"))): Result = {
+    val store = new Manifest.Store(tableDir)
+    val snap = store.currentSnapshot().getOrElse(Manifest.Snapshot(0L, Nil, Map.empty))
+    if (tasks.isEmpty) return Result(Nil, Nil, 0L)
+    val maxOpstamp = tasks.map(_.opstamp).max
+    val rewritten = Seq.newBuilder[SplitEntry]
+    val bumped = Seq.newBuilder[SplitEntry]
+    var deletedDocs = 0L
+    snap.splits.filter(_.deleteOpstamp < maxOpstamp).foreach { s =>
+      val applicable = tasks.filter(_.opstamp > s.deleteOpstamp)
+      val doomed = applicable.map(_.query.toColumn(resolver)).reduce(_ || _)
+      val files = s.files.map(_.replaceFirst("^file:", ""))
+      val df = spark.read.parquet(files: _*)
+      val matches = df.filter(doomed).count()
+      if (matches == 0L) {
+        // bump_opstamp: metadata-only republish of the same id
+        val entry = s.copy(deleteOpstamp = maxOpstamp)
+        store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
+          .foreach(_ => bumped += entry)
+      } else if (matches >= s.numDocs) {
+        // every doc matched: drop the split outright — no empty split is
+        // ever staged (the reference's whole-split delete arm)
+        store.publish(Nil, Set(s.splitId), Checkpoint.Delta(Nil))
+          .foreach(_ => deletedDocs += matches)
+      } else {
+        val newId = rewrittenSplitId(s.splitId, maxOpstamp)
+        val outDir = s"$tableDir/data/$newId"
+        val kept = df.filter(!doomed)
+          .repartition(1)
+          .sortWithinPartitions(Seq("ts", "conv_id", "turn_idx")
+            .filter(df.columns.contains).map(col): _*)
+          .persist()
+        try {
+          kept.write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+          val stats = kept.agg(
+            count(lit(1)).as("n"),
+            coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)).as("bytes"),
+            unix_micros(min(col("ts")).cast("timestamp_ltz")).as("min_us"),
+            unix_micros(max(col("ts")).cast("timestamp_ltz")).as("max_us")).collect()(0)
+          val written = Files.list(Paths.get(outDir)).iterator().asScala
+            .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+          val entry = s.copy(
+            splitId = newId,
+            numDocs = stats.getAs[Long]("n"),
+            uncompressedBytes = stats.getAs[Long]("bytes"),
+            timeRangeStartMicros = Option(stats.get(2)).map(_.asInstanceOf[Long])
+              .getOrElse(s.timeRangeStartMicros),
+            timeRangeEndMicros = Option(stats.get(3)).map(_.asInstanceOf[Long])
+              .getOrElse(s.timeRangeEndMicros),
+            numMergeOps = s.numMergeOps + 1,
+            deleteOpstamp = maxOpstamp,
+            files = written)
+          store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil)) match {
+            case Right(_) => rewritten += entry; deletedDocs += matches
+            case Left(_)  => () // raced: converged by a concurrent executor
+          }
+        } finally kept.unpersist()
+      }
+    }
+    Result(rewritten.result(), bumped.result(), deletedDocs)
+  }
+}

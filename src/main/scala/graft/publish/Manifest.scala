@@ -116,15 +116,17 @@ object Manifest {
       cp.tryApply(delta) match {
         case Left((p, reason)) => Left(s"incompatible checkpoint delta on $p: $reason")
         case Right(next) =>
-          // split ids are immutable and unique — re-publishing one (a merge
-          // rerun whose inputs somehow still look live, or an id collision)
-          // must fail rather than shadow the published split (the metastore
-          // rejects publishes of non-staged ids the same way)
-          val existing = cur.splits.map(_.splitId).toSet
-          staged.map(_.splitId).find(existing) match {
+          // split ids are unique — re-publishing a live one (a merge rerun
+          // whose inputs somehow still look live, or an id collision) must
+          // fail rather than shadow the published split (the metastore
+          // rejects publishes of non-staged ids the same way). A staged id
+          // that is simultaneously REPLACED is the in-place metadata-update
+          // shape (delete-opstamp bump) and is allowed.
+          val kept = cur.splits.filterNot(s => replacedIds.contains(s.splitId))
+          val keptIds = kept.map(_.splitId).toSet
+          staged.map(_.splitId).find(keptIds) match {
             case Some(dup) => Left(s"split $dup is already published")
             case None =>
-              val kept = cur.splits.filterNot(s => replacedIds.contains(s.splitId))
               val snap = Snapshot(cur.snapshotId + 1, kept ++ staged, next.positions)
               commitSnapshot(snap)
           }
