@@ -1330,6 +1330,27 @@ object SparkEntry {
         .orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
     }),
 
+    // Generalized CanSplitDoBetter: top-k by a NON-timestamp fast field
+    // (turn_idx) whose per-split [min,max] was recorded at append time —
+    // the oracle is the plain global sort, skipping is never lossy.
+    "k_topk_field_skip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-fieldskip").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      val tr = transcripts(s, d)
+        .filter(pmod(unix_micros(col("ts").cast("timestamp_ltz")), lit(4L)) === 2L)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      table.append(tr.filter(col("turn_idx") < 3), delta(-1, 1),
+        numFiles = 1, rangeFields = Seq("turn_idx"))
+      table.append(tr.filter(col("turn_idx") >= 3 && col("turn_idx") < 8), delta(1, 2),
+        numFiles = 1, rangeFields = Seq("turn_idx"))
+      table.append(tr.filter(col("turn_idx") >= 8), delta(2, 3),
+        numFiles = 1, rangeFields = Seq("turn_idx"))
+      val (top, _) = table.topKByField("turn_idx", 5)
+      top.select("conv_id", "turn_idx")
+        .orderBy(col("turn_idx").desc, col("conv_id"))
+    }),
+
     // ---- list_fields / field caps (§2.11): schema introspection ----------
     "s_list_fields" -> ((s, d) => {
       import s.implicits._
@@ -2517,6 +2538,11 @@ object SparkEntry {
       """SELECT role, CAST(count(*) AS BIGINT) AS n_docs, min(ts) AS first_ts
         |FROM transcripts WHERE epoch_us(ts) % 4 = 0 AND ts >= TIMESTAMP '2024-01-16'
         |GROUP BY role ORDER BY role""".stripMargin),
+
+    "k_topk_field_skip" -> (TranscriptsCte +
+      """SELECT conv_id, turn_idx FROM transcripts
+        |WHERE epoch_us(ts) % 4 = 2
+        |ORDER BY turn_idx DESC, conv_id LIMIT 5""".stripMargin),
 
     "sim_ann_brute" -> AnnExactTopKSql,
     "sim_ann_lsh" -> AnnExactTopKSql,

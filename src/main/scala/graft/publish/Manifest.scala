@@ -30,7 +30,12 @@ object Manifest {
       postingsCount: Long,
       numMergeOps: Int,
       deleteOpstamp: Long,
-      files: Seq[String])
+      files: Seq[String],
+      // per-fast-field [min, max] stats beyond the timestamp — what lets
+      // CanSplitDoBetter skip splits for ANY fast-field sort, the way the
+      // reference reads per-split column stats (leaf.rs:475-543). Absent
+      // for a field ⇒ that split is never skippable on it.
+      fieldRanges: Map[String, (Long, Long)] = Map.empty)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -45,14 +50,18 @@ object Manifest {
       case c => c.toString
     } + "\""
 
-  private def splitJson(s: SplitEntry): String =
+  private def splitJson(s: SplitEntry): String = {
+    val ranges = s.fieldRanges.toSeq.sortBy(_._1)
+      .map { case (f, (lo, hi)) => s"${esc(f)}:[$lo,$hi]" }.mkString("{", ",", "}")
     s"""{"split_id":${esc(s.splitId)},"partition_id":${s.partitionId},"num_docs":${s.numDocs},""" +
       s""""uncompressed_docs_size_in_bytes":${s.uncompressedBytes},""" +
       s""""time_range_start":${s.timeRangeStartMicros},"time_range_end":${s.timeRangeEndMicros},""" +
       s""""tags":[${s.tags.map(esc).mkString(",")}],""" +
       s""""term_cardinality":${s.termCardinality},"postings_count":${s.postingsCount},""" +
       s""""num_merge_ops":${s.numMergeOps},"delete_opstamp":${s.deleteOpstamp},""" +
+      s""""field_ranges":$ranges,""" +
       s""""files":[${s.files.map(esc).mkString(",")}]}"""
+  }
 
   def toJson(snap: Snapshot): String = {
     val cp = snap.checkpoint.toSeq.sortBy(_._1)
@@ -79,7 +88,13 @@ object Manifest {
         m("postings_count").asInstanceOf[Double].toLong,
         m("num_merge_ops").asInstanceOf[Double].toInt,
         m("delete_opstamp").asInstanceOf[Double].toLong,
-        m("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
+        m("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
+        // absent in pre-r4 snapshots — old manifests read back rangeless
+        m.get("field_ranges").map(_.asInstanceOf[Map[String, Any]].map {
+          case (f, v) =>
+            val ab = v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+            f -> (ab(0), ab(1))
+        }).getOrElse(Map.empty))
     }
     val cp = obj("checkpoint").asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }

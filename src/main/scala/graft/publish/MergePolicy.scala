@@ -109,6 +109,13 @@ object MergePolicy {
       postingsCount = splits.map(_.postingsCount).sum,
       numMergeOps = splits.map(_.numMergeOps).max + 1,
       deleteOpstamp = splits.map(_.deleteOpstamp).min,
-      files = splits.flatMap(_.files))
+      files = splits.flatMap(_.files),
+      // a fast-field range survives the merge only when EVERY input
+      // carries it — a missing input range means the merged bound is
+      // unknown and the field must stay unskippable
+      fieldRanges = splits.map(_.fieldRanges).reduce { (a, b) =>
+        a.keySet.intersect(b.keySet).map(f =>
+          f -> (math.min(a(f)._1, b(f)._1), math.max(a(f)._2, b(f)._2))).toMap
+      })
   }
 }

@@ -45,7 +45,8 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     * self-re-read paid a second full scan of every batch). Writer partition
     * i maps to output file `part-0000i-*` by Spark's naming contract. */
   def append(df: DataFrame, delta: Checkpoint.Delta, numFiles: Int = 4,
-             tagFields: Seq[String] = Nil): Unit = {
+             tagFields: Seq[String] = Nil,
+             rangeFields: Seq[String] = Nil): Unit = {
     val batchId = store.currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
     val subdir = s"$dir/data/batch-$batchId"
     val rep = df.repartition(numFiles).persist()
@@ -54,10 +55,16 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
         Seq(collect_set(col(f)).as(s"_tagvals_$f"),
             countDistinct(col(f)).as(s"_tagcard_$f"))
       }
+      // per-fast-field [min,max] for generalized split skipping
+      // (SplitEntry.fieldRanges) — same single stats pass as the ts range
+      val rangeAggs = rangeFields.flatMap { f =>
+        Seq(min(col(f).cast("long")).as(s"_rmin_$f"),
+            max(col(f).cast("long")).as(s"_rmax_$f"))
+      }
       val aggs =
         Seq(count(lit(1)).as("num_docs"),
             sum(coalesce(octet_length(col("text")).cast("long"), lit(0L))).as("bytes"),
-            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts")) ++ tagAggs
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts")) ++ tagAggs ++ rangeAggs
       val statsF = rep.groupBy(spark_partition_id().as("_pid")).agg(aggs.head, aggs.tail: _*)
       rep.write.mode("overwrite")
         .option("compression", "zstd") // docstore zstd analog (indexer.rs:529-537)
@@ -85,7 +92,11 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
           timeRangeEndMicros = tsMicros(r.getAs[Any]("max_ts")),
           tags = tags, termCardinality = 0L, postingsCount = 0L,
           numMergeOps = 0, deleteOpstamp = 0L,
-          files = Seq(filesByPid(pid)))
+          files = Seq(filesByPid(pid)),
+          fieldRanges = rangeFields.flatMap { f =>
+            Option(r.getAs[Any](s"_rmin_$f")).map(lo =>
+              f -> (lo.asInstanceOf[Long], r.getAs[Long](s"_rmax_$f")))
+          }.toMap)
       }
       store.publish(entries.toSeq, Set.empty, delta) match {
         case Left(err) => throw new IllegalStateException(s"publish failed: $err")
@@ -176,7 +187,6 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
                batch: Int = 4,
                startMicros: Option[Long] = None,
                endMicros: Option[Long] = None): (DataFrame, Seq[String]) = {
-    import org.apache.spark.sql.Row
     val snap = store.currentSnapshot()
       .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
     // explicit window NARROWED by AST-implied ts bounds, exactly as the
@@ -190,35 +200,87 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
       startUs.forall(s.timeRangeEndMicros >= _) &&
         endUs.forall(s.timeRangeStartMicros < _)
     }
-    val ordered =
-      if (desc) inWindow.sortBy(-_.timeRangeEndMicros)
-      else inWindow.sortBy(_.timeRangeStartMicros)
-    val sortCols =
-      (if (desc) col("ts").desc else col("ts").asc) +:
-        Seq(col("conv_id").asc, col("turn_idx").asc)
-    def key(r: Row): (Long, String, Int) = {
-      val us = r.getAs[Any]("ts") match {
-        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
-        case d: java.time.LocalDateTime =>
-          d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
-        case i: java.time.Instant => // java8 datetime API sessions
-          i.getEpochSecond * 1000000L + i.getNano / 1000
-      }
-      (us, r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+    val windowFilter: DataFrame => DataFrame = df => {
+      val c0 = startUs.map(s => unix_micros(col("ts")) >= s)
+      val c1 = endUs.map(e => unix_micros(col("ts")) < e)
+      (c0 ++ c1).reduceOption(_ && _).fold(df)(df.filter)
     }
+    topKCore(k, desc, query, resolver, batch,
+      sortField = "ts", sortKey = tsSortKey,
+      rangeOf = s => Some((s.timeRangeStartMicros, s.timeRangeEndMicros)),
+      splits = inWindow, windowFilter = windowFilter,
+      reqS = startUs, reqE = endUs)
+  }
+
+  /** Generalized CanSplitDoBetter over ANY numeric fast field whose
+    * per-split [min, max] was recorded at append/merge time
+    * (`SplitEntry.fieldRanges`) — the reference's protocol works for any
+    * fast-field sort, not just the timestamp (leaf.rs:475-543). Splits
+    * WITHOUT a recorded range for the field can never be skipped: they
+    * order first and are always opened. */
+  def topKByField(field: String, k: Int, desc: Boolean = true,
+                  query: Option[QueryAst] = None,
+                  resolver: graft.queryast.FieldResolver =
+                    graft.queryast.FieldResolver(Set("text"), Seq("text")),
+                  batch: Int = 4): (DataFrame, Seq[String]) = {
+    val snap = store.currentSnapshot()
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
+    topKCore(k, desc, query, resolver, batch,
+      sortField = field,
+      sortKey = r => r.getAs[Any](field) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"sort field $field is not numeric: $other")
+      },
+      rangeOf = _.fieldRanges.get(field),
+      splits = snap.splits, windowFilter = identity,
+      reqS = None, reqE = None)
+  }
+
+  private def tsSortKey(r: org.apache.spark.sql.Row): Long = r.getAs[Any]("ts") match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case d: java.time.LocalDateTime =>
+      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+    case i: java.time.Instant => // java8 datetime API sessions
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    case other => throw new IllegalArgumentException(s"unexpected ts type: $other")
+  }
+
+  private def topKCore(k: Int, desc: Boolean,
+                       query: Option[QueryAst],
+                       resolver: graft.queryast.FieldResolver,
+                       batch: Int,
+                       sortField: String,
+                       sortKey: org.apache.spark.sql.Row => Long,
+                       rangeOf: Manifest.SplitEntry => Option[(Long, Long)],
+                       splits: Seq[Manifest.SplitEntry],
+                       windowFilter: DataFrame => DataFrame,
+                       reqS: Option[Long], reqE: Option[Long]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.Row
+    // skip order by best-possible sort value (leaf.rs:484-499); rangeless
+    // splits sort FIRST — they are unskippable and must open regardless
+    val ordered =
+      if (desc) splits.sortBy(s => -rangeOf(s).map(_._2).getOrElse(Long.MaxValue))
+      else splits.sortBy(s => rangeOf(s).map(_._1).getOrElse(Long.MinValue))
+    val sortCols =
+      (if (desc) col(sortField).desc else col(sortField).asc) +:
+        Seq(col("conv_id").asc, col("turn_idx").asc)
+    def key(r: Row): (Long, String, Int) =
+      (sortKey(r), r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
     implicit val ord: Ordering[Row] = new Ordering[Row] {
       def compare(a: Row, b: Row): Int = {
         val (ta, ca, ia) = key(a); val (tb, cb, ib) = key(b)
-        val byTs = if (desc) java.lang.Long.compare(tb, ta) else java.lang.Long.compare(ta, tb)
-        if (byTs != 0) byTs
+        val byKey = if (desc) java.lang.Long.compare(tb, ta) else java.lang.Long.compare(ta, tb)
+        if (byKey != 0) byKey
         else { val c = ca.compareTo(cb); if (c != 0) c else Integer.compare(ia, ib) }
       }
     }
     var top = Vector.empty[Row]
-    var worstTs: Option[Long] = None // µs of the k-th kept hit
-    def canBeBetter(s: Manifest.SplitEntry): Boolean = worstTs match {
-      case None => true
-      case Some(w) => if (desc) s.timeRangeEndMicros >= w else s.timeRangeStartMicros <= w
+    var worst: Option[Long] = None // sort key of the k-th kept hit
+    def canBeBetter(s: Manifest.SplitEntry): Boolean = (worst, rangeOf(s)) match {
+      case (None, _)            => true
+      case (_, None)            => true // no recorded range ⇒ never skippable
+      case (Some(w), Some((lo, hi))) => if (desc) hi >= w else lo <= w
     }
     val opened = Seq.newBuilder[String]
     var schema: org.apache.spark.sql.types.StructType = null
@@ -230,13 +292,7 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     // reference's strip of start/end_timestamp keeps the AST); the window
     // rides separately and is merged with each split's own range, so two
     // sliding windows that both fully cover a split share that split's key.
-    val fp = s"topk|k=$k|desc=$desc|q=${query.fold("*")(_.toString)}"
-    val (reqS, reqE) = (startUs, endUs)
-    val windowFilter: DataFrame => DataFrame = df => {
-      val c0 = startUs.map(s => unix_micros(col("ts")) >= s)
-      val c1 = endUs.map(e => unix_micros(col("ts")) < e)
-      (c0 ++ c1).reduceOption(_ && _).fold(df)(df.filter)
-    }
+    val fp = s"topk|f=$sortField|k=$k|desc=$desc|q=${query.fold("*")(_.toString)}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, batch))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -278,7 +334,7 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
             if (schema == null) schema = sch
             top = (top ++ leaf).sorted.take(k)
           }
-          if (top.size == k) worstTs = Some(key(top.last)._1)
+          if (top.size == k) worst = Some(key(top.last)._1)
           if (cand.size < width) done = true // hit an unbeatable split (or the end)
           i += cand.size
           first = false

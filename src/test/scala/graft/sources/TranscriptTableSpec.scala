@@ -148,6 +148,52 @@ class TranscriptTableSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq === wantF)
   }
 
+  test("topKByField: generalized split skip over recorded fast-field ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ttable")
+    val table = new TranscriptTable(dir, spark)
+    val turns = TranscriptGen.turns(numConvs = 30, avgTurns = 8)
+    val df = turns.toDS().toDF()
+    // three turn_idx bands, ranges recorded at append time
+    table.append(df.filter(col("turn_idx") < 2), delta(-1, 1),
+      numFiles = 1, rangeFields = Seq("turn_idx"))
+    table.append(df.filter(col("turn_idx") >= 2 && col("turn_idx") < 5), delta(1, 2),
+      numFiles = 1, rangeFields = Seq("turn_idx"))
+    table.append(df.filter(col("turn_idx") >= 5), delta(2, 3),
+      numFiles = 1, rangeFields = Seq("turn_idx"))
+    val snap = table.store.currentSnapshot().get
+    assert(snap.splits.forall(_.fieldRanges.contains("turn_idx")))
+    def filesOf(pred: graft.publish.Manifest.SplitEntry => Boolean): Set[String] =
+      snap.splits.filter(pred).flatMap(_.files).map(_.replaceFirst("^file:", "")).toSet
+
+    // k within the top band: ONLY its file opens (range-driven skip)
+    val (top, opened) = table.topKByField("turn_idx", k = 3)
+    assert(opened.toSet === filesOf(_.fieldRanges("turn_idx")._1 >= 5))
+    val want = df.orderBy(col("turn_idx").desc, col("conv_id"), col("turn_idx"))
+      .limit(3).collect().map(_.toString).toSeq
+    assert(top.orderBy(col("turn_idx").desc, col("conv_id"), col("turn_idx"))
+      .collect().map(_.toString).toSeq === want)
+
+    // ascending mirrors with the LOW band
+    val (topAsc, openedAsc) = table.topKByField("turn_idx", k = 3, desc = false)
+    assert(openedAsc.toSet === filesOf(_.fieldRanges("turn_idx")._2 < 2))
+    assert(topAsc.count() === 3L)
+
+    // a table appended WITHOUT rangeFields is never skippable on the
+    // field: every split opens, the answer is still exact
+    val dir2 = tmpDir("ttable")
+    val table2 = new TranscriptTable(dir2, spark)
+    table2.append(df.filter(col("turn_idx") < 4), delta(-1, 1), numFiles = 1)
+    table2.append(df.filter(col("turn_idx") >= 4), delta(1, 2), numFiles = 1)
+    val (top2, opened2) = table2.topKByField("turn_idx", k = 3)
+    assert(opened2.toSet ===
+      table2.store.currentSnapshot().get.splits.flatMap(_.files)
+        .map(_.replaceFirst("^file:", "")).toSet)
+    assert(top2.orderBy(col("turn_idx").desc, col("conv_id"), col("turn_idx"))
+      .collect().map(_.toString).toSeq === want)
+  }
+
   test("leaf cache: sliding windows hit for fully-covered splits") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
