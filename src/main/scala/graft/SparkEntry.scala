@@ -1330,6 +1330,61 @@ object SparkEntry {
         .orderBy(col("ts").desc, col("conv_id"), col("turn_idx"))
     }),
 
+    // ---- ingest v1 WAL queue (S4, queue.rs:53-200) -----------------------
+    // Docs enqueue in three WAL segments; the indexing source tails from a
+    // mid-stream checkpoint (position > after) and the publisher's
+    // suggest_truncate at that same position must not change what the
+    // tail reads (segment-granular truncation, positions never reused).
+    // DuckDB recomputes positions as row_number over the same order.
+    "s_ingest_queue" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-ingestq").toString
+      val q = new graft.sources.IngestQueue(root)
+      q.createQueue("idx")
+      val docs = transcripts(s, d)
+        .filter(col("role") === "tool" && col("turn_idx") < 3)
+        .select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx")
+        .collect().map(r => s"${r.getString(0)}|${r.getInt(1)}")
+      val third = math.max(1, docs.length / 3)
+      q.ingest("idx", docs.take(third).toSeq)
+      q.ingest("idx", docs.slice(third, 2 * third).toSeq)
+      if (docs.length > 2 * third) q.ingest("idx", docs.drop(2 * third).toSeq)
+      val after = docs.length / 2 - 1L // the committed checkpoint position
+      val fetched = q.fetch("idx", after, maxDocs = docs.length)
+      q.suggestTruncate("idx", after)
+      val refetched = q.fetch("idx", after, maxDocs = docs.length)
+      val truncateOk = refetched == fetched
+      fetched.map { case (pos, doc) =>
+        val cut = doc.lastIndexOf('|')
+        (pos, doc.substring(0, cut), doc.substring(cut + 1).toInt, truncateOk)
+      }.toDF("position", "conv_id", "turn_idx", "truncate_ok")
+    }),
+
+    // ---- scroll (K6, scroll_context.rs:48-150) ---------------------------
+    // A TTL-cached scroll context pages through the sorted result with a
+    // DELIBERATELY tiny window (batchLen 7 < pageSize·pages) so the
+    // search_after refill path runs several times; the first 10 pages are
+    // emitted with their page numbers and DuckDB recomputes them from the
+    // same global order. Deep exports use the search-stream path (S9).
+    "es_scroll" -> ((s, d) => {
+      import s.implicits._
+      val tr = transcripts(s, d)
+        .filter(col("text").isNotNull && col("role") === "system")
+        .select(col("conv_id"), col("turn_idx"))
+      val ctx = new graft.operators.ScrollContext(batchLen = 7)
+      val (id, first) = ctx.start(tr, "conv_id", "turn_idx", pageSize = 5)
+      val pages = scala.collection.mutable.Buffer((0, first))
+      var done = first.isEmpty
+      while (!done && pages.length < 10) {
+        val p = ctx.scroll(id).get
+        if (p.isEmpty) done = true else pages += ((pages.length, p))
+      }
+      ctx.clear(id)
+      pages.toSeq.flatMap { case (pn, rows) =>
+        rows.map(r => (pn, r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")))
+      }.toDF("page", "conv_id", "turn_idx")
+    }),
+
     // Generalized CanSplitDoBetter: top-k by a NON-timestamp fast field
     // (turn_idx) whose per-split [min,max] was recorded at append time —
     // the oracle is the plain global sort, skipping is never lossy.
@@ -2543,6 +2598,25 @@ object SparkEntry {
       """SELECT conv_id, turn_idx FROM transcripts
         |WHERE epoch_us(ts) % 4 = 2
         |ORDER BY turn_idx DESC, conv_id LIMIT 5""".stripMargin),
+
+    "s_ingest_queue" -> (TranscriptsCte +
+      """, ordered AS (
+        |  SELECT conv_id, turn_idx,
+        |    row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS position
+        |  FROM transcripts WHERE role = 'tool' AND turn_idx < 3)
+        |SELECT CAST(position AS BIGINT) AS position, conv_id, turn_idx,
+        |  TRUE AS truncate_ok
+        |FROM ordered
+        |WHERE position > (SELECT count(*) // 2 - 1 FROM ordered)
+        |ORDER BY position""".stripMargin),
+
+    "es_scroll" -> (TranscriptsCte +
+      """, ordered AS (
+        |  SELECT conv_id, turn_idx,
+        |    row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS rn
+        |  FROM transcripts WHERE text IS NOT NULL AND role = 'system')
+        |SELECT CAST(rn // 5 AS INT) AS page, conv_id, turn_idx
+        |FROM ordered WHERE rn < 50 ORDER BY rn""".stripMargin),
 
     "sim_ann_brute" -> AnnExactTopKSql,
     "sim_ann_lsh" -> AnnExactTopKSql,
