@@ -113,11 +113,18 @@ object OtlpProto {
 
   // ---- reader ----------------------------------------------------------
 
+  /** A bounded view over `bytes[pos, end)`. EVERY read checks the region
+    * bound — a corrupt or truncated length prefix must surface as a decode
+    * error, never as silently-wrong values read from sibling bytes. */
   private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    private def need(n: Int): Unit =
+      if (pos + n > end) throw new IllegalArgumentException(
+        s"truncated message: need $n bytes at $pos, region ends at $end")
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (true) {
+        need(1)
         val b = bytes(pos); pos += 1
         v |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return v
@@ -127,27 +134,30 @@ object OtlpProto {
       v
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L; var i = 0
       while (i < 8) { v |= (bytes(pos + i).toLong & 0xFF) << (8 * i); i += 1 }
       pos += 8; v
     }
     def lenDelim(): Reader = {
       val len = varint().toInt
+      need(len)
       val r = new Reader(bytes, pos, pos + len)
       pos += len
       r
     }
     def stringValue(): String = {
       val len = varint().toInt
+      need(len)
       val s = new String(bytes, pos, len, "UTF-8")
       pos += len; s
     }
     /** Skip one field value by wire type — unknown-field tolerance. */
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => val len = varint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

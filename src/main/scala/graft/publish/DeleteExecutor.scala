@@ -68,28 +68,19 @@ object DeleteExecutor {
       } else {
         val newId = rewrittenSplitId(s.splitId, maxOpstamp)
         val outDir = s"$tableDir/data/$newId"
-        val kept = df.filter(!doomed)
-          .repartition(1)
-          .sortWithinPartitions(Seq("ts", "conv_id", "turn_idx")
-            .filter(df.columns.contains).map(col): _*)
-          .persist()
+        val kept = df.filter(!doomed).persist()
         try {
-          kept.write.mode("overwrite").option("compression", "zstd").parquet(outDir)
-          val stats = kept.agg(
-            count(lit(1)).as("n"),
-            coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)).as("bytes"),
-            unix_micros(min(col("ts")).cast("timestamp_ltz")).as("min_us"),
-            unix_micros(max(col("ts")).cast("timestamp_ltz")).as("max_us")).collect()(0)
-          val written = Files.list(Paths.get(outDir)).iterator().asScala
-            .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+          val written = SplitStaging.writeSorted(kept, outDir)
+          val stats = SplitStaging.stats(kept)
+          // fieldRanges carry over UNCHANGED: the surviving rows are a
+          // subset, so the recorded [min,max] is a superset of the true
+          // range — skipping stays conservative, never lossy
           val entry = s.copy(
             splitId = newId,
-            numDocs = stats.getAs[Long]("n"),
-            uncompressedBytes = stats.getAs[Long]("bytes"),
-            timeRangeStartMicros = Option(stats.get(2)).map(_.asInstanceOf[Long])
-              .getOrElse(s.timeRangeStartMicros),
-            timeRangeEndMicros = Option(stats.get(3)).map(_.asInstanceOf[Long])
-              .getOrElse(s.timeRangeEndMicros),
+            numDocs = stats.numDocs,
+            uncompressedBytes = stats.bytes,
+            timeRangeStartMicros = stats.minUs.getOrElse(s.timeRangeStartMicros),
+            timeRangeEndMicros = stats.maxUs.getOrElse(s.timeRangeEndMicros),
             numMergeOps = s.numMergeOps + 1,
             deleteOpstamp = maxOpstamp,
             files = written)

@@ -45,7 +45,7 @@ object GarbageCollect {
       .map(_.splits.flatMap(_.files).toSet).getOrElse(Set.empty)
 
     def walk(p: Path): Iterator[Path] =
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.flatMap(walk)
+      if (Files.isDirectory(p)) graft.util.Fs.list(p).iterator.flatMap(walk)
       else Iterator.single(p)
 
     val all = walk(dataDir).toSeq

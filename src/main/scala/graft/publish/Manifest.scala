@@ -51,8 +51,11 @@ object Manifest {
     } + "\""
 
   private def splitJson(s: SplitEntry): String = {
+    // bounds as STRINGS: the JSON reader parses numbers as Double, which
+    // rounds i64 values beyond 2^53 (hash/id columns) and would make
+    // generalized split skipping lossy after a manifest round-trip
     val ranges = s.fieldRanges.toSeq.sortBy(_._1)
-      .map { case (f, (lo, hi)) => s"${esc(f)}:[$lo,$hi]" }.mkString("{", ",", "}")
+      .map { case (f, (lo, hi)) => s"""${esc(f)}:["$lo","$hi"]""" }.mkString("{", ",", "}")
     s"""{"split_id":${esc(s.splitId)},"partition_id":${s.partitionId},"num_docs":${s.numDocs},""" +
       s""""uncompressed_docs_size_in_bytes":${s.uncompressedBytes},""" +
       s""""time_range_start":${s.timeRangeStartMicros},"time_range_end":${s.timeRangeEndMicros},""" +
@@ -89,10 +92,11 @@ object Manifest {
         m("num_merge_ops").asInstanceOf[Double].toInt,
         m("delete_opstamp").asInstanceOf[Double].toLong,
         m("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
-        // absent in pre-r4 snapshots — old manifests read back rangeless
+        // absent in pre-r4 snapshots — old manifests read back rangeless;
+        // bounds are strings (see splitJson) for exact i64 round-trips
         m.get("field_ranges").map(_.asInstanceOf[Map[String, Any]].map {
           case (f, v) =>
-            val ab = v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+            val ab = v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String].toLong)
             f -> (ab(0), ab(1))
         }).getOrElse(Map.empty))
     }
@@ -106,7 +110,7 @@ object Manifest {
 
     def currentSnapshot(): Option[Snapshot] = {
       if (!Files.isDirectory(metaDir)) return None
-      val ids = Files.list(metaDir).iterator().asScala
+      val ids = graft.util.Fs.list(metaDir).iterator
         .map(_.getFileName.toString)
         .collect { case n if n.startsWith("snapshot-") && n.endsWith(".json") =>
           n.stripPrefix("snapshot-").stripSuffix(".json").toLong }

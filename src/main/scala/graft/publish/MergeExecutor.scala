@@ -60,15 +60,7 @@ object MergeExecutor {
     val id = mergedSplitId(batch)
     val outDir = s"$tableDir/data/$id"
     val inFiles = batch.flatMap(_.files).map(_.replaceFirst("^file:", ""))
-    val df = spark.read.parquet(inFiles: _*)
-    val sortable = sortCols.filter(df.columns.contains)
-    df.repartition(1)
-      .sortWithinPartitions(sortable.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .parquet(outDir)
-    val written = Files.list(Paths.get(outDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val written = SplitStaging.writeSorted(spark.read.parquet(inFiles: _*), outDir, sortCols)
     MergePolicy.combine(batch, id).copy(files = written)
   }
 

@@ -432,19 +432,28 @@ object EsAggs {
           else {
             // Snap with the offset so gap-fill keys land on the same grid as the
             // data bucket keys (floor((v-offset)/interval)*interval+offset).
+            // Iterate by INTEGRAL bucket index, not by accumulating doubles —
+            // lo + n*interval drifts off the floor-computed data keys for
+            // fractional intervals (0.1+0.1+0.1 != 0.3) and exact-equality
+            // lookups would replace populated buckets with zero-count ones.
             def snap(v: Double): Double = math.floor((v - offset) / interval) * interval + offset
-            val dataRange = if (byKey.isEmpty) None else Some((byKey.keys.min, byKey.keys.max))
-            val range = (dataRange, extendedBounds.map { case (l, h) => (snap(l), snap(h)) }) match {
+            def idxOf(k: Double): Long = math.round((k - offset) / interval)
+            val byIdx = byKey.map { case (k, r) => idxOf(k) -> (k, r) }
+            val dataRange = if (byIdx.isEmpty) None else Some((byIdx.keys.min, byIdx.keys.max))
+            val range = (dataRange,
+              extendedBounds.map { case (l, h) => (idxOf(snap(l)), idxOf(snap(h))) }) match {
               case (Some((dl, dh)), Some((el, eh))) => Some((math.min(dl, el), math.max(dh, eh)))
               case (d, e) => d.orElse(e)
             }
             range.toSeq.flatMap { case (lo, hi) =>
-              Iterator.iterate(lo)(_ + interval).takeWhile(_ <= hi + interval / 2).map { k =>
-                byKey.get(k) match {
-                  case Some(r) => s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
-                  case None    => s"""{"doc_count":0,"key":${R.num(k)}$emptySubsJson}"""
+              (lo to hi).map { i =>
+                byIdx.get(i) match {
+                  case Some((k, r)) => s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
+                  case None =>
+                    val k = i * interval + offset
+                    s"""{"doc_count":0,"key":${R.num(k)}$emptySubsJson}"""
                 }
-              }.toSeq
+              }
             }
           }
         s"""{"buckets":[${bs.mkString(",")}]}"""

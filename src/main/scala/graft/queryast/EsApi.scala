@@ -83,6 +83,22 @@ object EsApi {
     def sortCol(f: String): Column = if (f == "_score") lit(1.0d) else col(f)
 
     val total = filtered.count() // ES total counts ALL matches, cursor-independent
+    // A cursor value echoed from hits[].sort must be re-typed by the SORT
+    // COLUMN's type: date sort values travel as epoch millis on the wire
+    // (svJson), so a numeric cursor against a timestamp column is millis,
+    // not a raw comparand — comparing lit(1.7e12) to a timestamp coerces
+    // to SECONDS and breaks date pagination (ISO strings also accepted).
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def cursorLit(f: String, v: Any): Column = fieldType.get(f) match {
+      case Some(t) if t == org.apache.spark.sql.types.TimestampType ||
+                      t == org.apache.spark.sql.types.TimestampNTZType =>
+        v match {
+          case n: java.lang.Number => timestamp_millis(lit(n.longValue())).cast(t)
+          case s: String           => lit(s).cast(t)
+          case other               => lit(other)
+        }
+      case _ => lit(v)
+    }
     // search_after: resume strictly after the cursor tuple, respecting each
     // criterion's direction (collector.rs:316-341 generalized to desc)
     val afterFiltered = m.get("search_after").map { sa =>
@@ -90,10 +106,11 @@ object EsApi {
       require(sortSpec.nonEmpty, "search_after requires a sort") // ES validation error
       require(vals.size == sortSpec.size,
         s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
-      val cs = sortSpec.map { case (f, asc) => (sortCol(f), asc) }
+      val cs = sortSpec.map { case (f, asc) => (sortCol(f), asc, f) }
       val pred = cs.indices.map { i =>
-        (cs.take(i).zip(vals).map { case ((c, _), v) => c === lit(v) } :+
-          (if (cs(i)._2) cs(i)._1 > lit(vals(i)) else cs(i)._1 < lit(vals(i))))
+        (cs.take(i).zip(vals).map { case ((c, _, f), v) => c === cursorLit(f, v) } :+
+          (if (cs(i)._2) cs(i)._1 > cursorLit(cs(i)._3, vals(i))
+           else cs(i)._1 < cursorLit(cs(i)._3, vals(i))))
           .reduce(_ && _)
       }.reduce(_ || _)
       filtered.filter(pred)

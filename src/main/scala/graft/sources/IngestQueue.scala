@@ -25,7 +25,7 @@ final class IngestQueue(rootDir: String) {
   private def segments(queueId: String): Seq[(Long, Long, Path)] = {
     val dir = queueDir(queueId)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.flatMap { p =>
+    else graft.util.Fs.list(dir).iterator.flatMap { p =>
       p.getFileName.toString match {
         case SegName(from, to) => Some((from.toLong, to.toLong, p))
         case _                 => None

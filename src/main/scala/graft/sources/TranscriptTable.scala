@@ -71,8 +71,8 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
         .parquet(subdir)
       val stats = statsF.collect()
       // writer partition id ↔ file via the part-NNNNN name prefix
-      val filesByPid = java.nio.file.Files.list(java.nio.file.Paths.get(subdir))
-        .iterator().asScala.map(_.toString)
+      val filesByPid = graft.util.Fs.list(java.nio.file.Paths.get(subdir))
+        .iterator.map(_.toString)
         .filter(f => f.contains("/part-") && f.endsWith(".parquet"))
         .map(f => f.substring(f.lastIndexOf("/part-") + 6, f.lastIndexOf("/part-") + 11).toInt -> f)
         .toMap
@@ -228,7 +228,14 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     topKCore(k, desc, query, resolver, batch,
       sortField = field,
       sortKey = r => r.getAs[Any](field) match {
-        case n: Number => n.longValue()
+        case null => None // nullable fast field: sorts LAST either direction
+        case _: java.lang.Double | _: java.lang.Float | _: java.math.BigDecimal =>
+          // the manifest range representation is integral; a silent
+          // longValue() truncation would mis-merge leaf results across
+          // splits (10.9 vs 10.5 both key as 10) — reject loudly instead
+          throw new IllegalArgumentException(
+            s"sort field $field is fractional; only integral fast fields are supported")
+        case n: Number => Some(n.longValue())
         case other => throw new IllegalArgumentException(
           s"sort field $field is not numeric: $other")
       },
@@ -237,12 +244,13 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
       reqS = None, reqE = None)
   }
 
-  private def tsSortKey(r: org.apache.spark.sql.Row): Long = r.getAs[Any]("ts") match {
-    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def tsSortKey(r: org.apache.spark.sql.Row): Option[Long] = r.getAs[Any]("ts") match {
+    case null => None
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
     case d: java.time.LocalDateTime =>
-      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+      Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000)
     case i: java.time.Instant => // java8 datetime API sessions
-      i.getEpochSecond * 1000000L + i.getNano / 1000
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
     case other => throw new IllegalArgumentException(s"unexpected ts type: $other")
   }
 
@@ -251,7 +259,7 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
                        resolver: graft.queryast.FieldResolver,
                        batch: Int,
                        sortField: String,
-                       sortKey: org.apache.spark.sql.Row => Long,
+                       sortKey: org.apache.spark.sql.Row => Option[Long],
                        rangeOf: Manifest.SplitEntry => Option[(Long, Long)],
                        splits: Seq[Manifest.SplitEntry],
                        windowFilter: DataFrame => DataFrame,
@@ -263,10 +271,13 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
       if (desc) splits.sortBy(s => -rangeOf(s).map(_._2).getOrElse(Long.MaxValue))
       else splits.sortBy(s => rangeOf(s).map(_._1).getOrElse(Long.MinValue))
     val sortCols =
-      (if (desc) col(sortField).desc else col(sortField).asc) +:
+      (if (desc) col(sortField).desc_nulls_last else col(sortField).asc_nulls_last) +:
         Seq(col("conv_id").asc, col("turn_idx").asc)
+    // nulls sort LAST in both directions (ES missing-last): sentinel =
+    // the direction's worst value, and a null worst bound can never skip
+    val nullKey = if (desc) Long.MinValue else Long.MaxValue
     def key(r: Row): (Long, String, Int) =
-      (sortKey(r), r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+      (sortKey(r).getOrElse(nullKey), r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
     implicit val ord: Ordering[Row] = new Ordering[Row] {
       def compare(a: Row, b: Row): Int = {
         val (ta, ca, ia) = key(a); val (tb, cb, ib) = key(b)
@@ -292,7 +303,9 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     // reference's strip of start/end_timestamp keeps the AST); the window
     // rides separately and is merged with each split's own range, so two
     // sliding windows that both fully cover a split share that split's key.
-    val fp = s"topk|f=$sortField|k=$k|desc=$desc|q=${query.fold("*")(_.toString)}"
+    // the resolver is part of the request identity: the same AST compiles
+    // to different predicates under different field resolutions
+    val fp = s"topk|f=$sortField|k=$k|desc=$desc|q=${query.fold("*")(_.toString)}|r=$resolver"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, batch))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)

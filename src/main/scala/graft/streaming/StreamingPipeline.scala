@@ -90,26 +90,28 @@ object StreamingPipeline {
       IndexingPipeline.splitAggregates(routed, cfg)
         .write.mode("overwrite").parquet(s"$outDir/split_stats/batch_id=$batchId")
       ledger.forall { store =>
-        val r = routed.agg(
-          count(lit(1)).as("n"),
-          coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)).as("bytes"),
-          unix_micros(min(col("ts")).cast("timestamp_ltz")).as("min_us"),
-          unix_micros(max(col("ts")).cast("timestamp_ltz")).as("max_us")).collect()(0)
+        val stats = graft.publish.SplitStaging.stats(routed)
         val entry = graft.publish.Manifest.SplitEntry(
           splitId = s"stream-batch-$batchId",
           partitionId = 0L,
-          numDocs = r.getAs[Long]("n"),
-          uncompressedBytes = r.getAs[Long]("bytes"),
-          timeRangeStartMicros = Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
-          timeRangeEndMicros = Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          numDocs = stats.numDocs,
+          uncompressedBytes = stats.bytes,
+          timeRangeStartMicros = stats.minUs.getOrElse(0L),
+          timeRangeEndMicros = stats.maxUs.getOrElse(0L),
           tags = Nil, termCardinality = 0L, postingsCount = 0L,
           numMergeOps = 0, deleteOpstamp = 0L,
           files = Seq(s"$outDir/error_index/batch_id=$batchId",
             s"$outDir/dead_letter/batch_id=$batchId",
             s"$outDir/split_stats/batch_id=$batchId"))
-        store.publish(Seq(entry), Set.empty,
+        // Delta anchored at the ledger's ACTUAL position, not batchId-1:
+        // enabling the ledger on a pre-existing checkpoint (current < N-1)
+        // must commit with a catch-up delta instead of failing as a Gap
+        // forever; current >= batchId is the genuine replay (Overlap) case.
+        val cur = store.currentSnapshot()
+          .flatMap(_.checkpoint.get("stream")).getOrElse(-1L)
+        cur < batchId && store.publish(Seq(entry), Set.empty,
           graft.publish.Checkpoint.Delta(Seq(
-            graft.publish.Checkpoint.PartitionDelta("stream", batchId - 1, batchId)))).isRight
+            graft.publish.Checkpoint.PartitionDelta("stream", cur, batchId)))).isRight
       }
     } finally routed.unpersist()
   }

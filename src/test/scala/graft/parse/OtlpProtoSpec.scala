@@ -64,6 +64,28 @@ class OtlpProtoSpec extends AnyFunSuite {
       Seq(LogRecord(0L, 0, "", Some("hi"), Nil))))
   }
 
+  test("truncated/corrupt length prefixes throw instead of decoding sibling bytes") {
+    val good = encode(LogsRequest(Seq("k" -> "v"),
+      Seq(LogRecord(7L, 9, "INFO", Some("hello"), Seq("a" -> "b")))))
+    // chopping the tail off mid-message must never decode silently
+    (1 until good.length).foreach { keep =>
+      val t = good.take(keep)
+      val r = try { decode(t); None } catch {
+        case e: IllegalArgumentException => Some(e)
+        case e: ArrayIndexOutOfBoundsException =>
+          fail(s"unbounded read at keep=$keep: $e")
+      }
+      // either a clean decode error or (for cuts landing on a field
+      // boundary of the outermost envelope) a shorter-but-valid prefix —
+      // never an exception class that implies reading past the region
+      r.foreach(e => assert(e.getMessage != null))
+    }
+    // an inner length prefix LARGER than its region: garbage-free failure
+    val inflated = good.clone()
+    inflated(1) = (inflated(1) + 40).toByte // ResourceLogs length lies
+    intercept[IllegalArgumentException](decode(inflated))
+  }
+
   test("proto3 defaults: zero/empty fields elided and restored") {
     val r = LogsRequest(Nil, Seq(LogRecord(0L, 0, "", None, Nil)))
     assert(decode(encode(r)) === r)

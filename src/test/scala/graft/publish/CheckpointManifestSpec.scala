@@ -146,4 +146,17 @@ class CheckpointManifestSpec extends AnyFunSuite {
     val snap = Snapshot(7L, Seq(entry("x\"esc\n", 5L)), Map("p0" -> 10L, "p1" -> 20L))
     assert(Manifest.fromJson(Manifest.toJson(snap)) === snap)
   }
+
+  test("field_ranges round-trip exactly, including i64 beyond 2^53") {
+    // a Double-routed parse would round 1000000000000000003 down and make
+    // generalized split skipping lossy; bounds travel as strings
+    val big = entry("r", 5L).copy(fieldRanges = Map(
+      "turn_idx" -> (0L, 42L),
+      "hash_id" -> (-1000000000000000003L, 1000000000000000003L)))
+    val snap = Snapshot(1L, Seq(big), Map.empty)
+    assert(Manifest.fromJson(Manifest.toJson(snap)) === snap)
+    // pre-r4 snapshots (no field_ranges key) read back rangeless
+    val legacy = Manifest.toJson(snap).replaceAll(""""field_ranges":\{[^}]*\},""", "")
+    assert(Manifest.fromJson(legacy).splits.head.fieldRanges === Map.empty)
+  }
 }

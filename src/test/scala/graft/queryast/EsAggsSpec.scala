@@ -132,6 +132,23 @@ class EsAggsSpec extends SparkTestBase {
         |{"doc_count":0,"key":155.0}]}}""".stripMargin)
   }
 
+  test("histogram: fractional interval gap-fill keeps populated buckets (integral index iteration)") {
+    // interval 1.1 over responses {20, 30, 30, 30}: data buckets at indexes
+    // 18 (19.8…) and 27 (29.7…). Accumulating doubles (lo + n*interval)
+    // drifts off the floor-computed keys, and the exact-equality lookup
+    // then replaced BOTH populated buckets with zero-count gaps.
+    val got = Json.parse(EsAggs.search(docs, resolver,
+      """{"query":{"range":{"response":{"lt":35}}},
+        |"aggs":{"h":{"histogram":{"field":"response","interval":1.1}}}}""".stripMargin))
+    val buckets = got.asInstanceOf[Map[String, Any]]("aggregations")
+      .asInstanceOf[Map[String, Any]]("h")
+      .asInstanceOf[Map[String, Any]]("buckets").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(buckets.size === 10) // indexes 18..27 inclusive
+    assert(buckets.map(_("doc_count").asInstanceOf[Double].toLong).sum === 4L)
+    assert(buckets.count(_("doc_count") !== 0.0) === 2)
+  }
+
   test("unknown aggregation variant reproduces the reference error (root.rs:3513-3517)") {
     val e = intercept[IllegalArgumentException] {
       EsAggs.parse("""{"x":{"termss":{"field":"host"}}}""")

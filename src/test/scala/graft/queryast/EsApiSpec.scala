@@ -188,4 +188,29 @@ class EsApiSpec extends SparkTestBase {
     assert(next.head("_id") === 2.0)
     assert(next.head("sort") === Seq("45"))
   }
+
+  test("_search: date sort cursors round-trip as epoch millis (the ES wire form)") {
+    import graft.util.Json
+    import spark.implicits._
+    val dated = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "b"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), "c")
+    ).toDF("doc_id", "ts", "text")
+    def run(body: String): Seq[Map[String, Any]] =
+      Json.parse(EsApi.search(dated, resolver, col("doc_id"), body))
+        .asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Map[String, Any]]("hits")
+        .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    val first = run("""{"size": 1, "sort": [{"ts": "desc"}]}""")
+    assert(first.head("_id") === 3.0)
+    val cursor = first.head("sort").asInstanceOf[Seq[Any]].head
+    // the wire value is epoch MILLIS; echoing it back must be interpreted
+    // as millis against the timestamp column (raw comparison coerces the
+    // timestamp to SECONDS → every row matches and page 2 repeats page 1)
+    val next = run(s"""{"size": 1, "sort": [{"ts": "desc"}], "search_after": [$cursor]}""")
+    assert(next.map(_("_id")) === Seq(2.0))
+    val third = run(
+      s"""{"size": 1, "sort": [{"ts": "desc"}], "search_after": [${next.head("sort").asInstanceOf[Seq[Any]].head}]}""")
+    assert(third.map(_("_id")) === Seq(1.0))
+  }
 }

@@ -102,6 +102,25 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/dead_letter").count() === deadAll)
   }
 
+  test("ledger enabled on a pre-existing checkpoint commits via a catch-up delta") {
+    val in = tmpDir("stream_in5"); val out = tmpDir("stream_out5")
+    val cp = tmpDir("stream_cp5"); val ledgerDir = tmpDir("stream_ledger5")
+    // phase 1: NO ledger — the streaming checkpoint advances past batch 0
+    writeBatch(in, seed = 11L, convs = 20)
+    StreamingPipeline.start(spark, in, out, cp).awaitTermination()
+    // phase 2: ledger turned on mid-stream — the next batch id is > 0 but
+    // the ledger's position is -1; a batchId-1 anchored delta would be a
+    // permanent Gap. The catch-up delta must commit it.
+    writeBatch(in, seed = 12L, convs = 15)
+    StreamingPipeline.start(spark, in, out, cp,
+      ledgerDir = Some(ledgerDir)).awaitTermination()
+    val store = new graft.publish.Manifest.Store(ledgerDir)
+    val snap = store.currentSnapshot()
+    assert(snap.isDefined, "ledger never committed after mid-stream enablement")
+    assert(snap.get.splits.nonEmpty)
+    assert(snap.get.checkpoint("stream") >= 1L)
+  }
+
   test("windowed rollup emits closed windows with stable turn order") {
     val in = tmpDir("stream_in3"); val out = tmpDir("stream_out3"); val cp = tmpDir("stream_cp3")
     writeBatch(in, seed = 4L, convs = 30)
