@@ -1618,6 +1618,46 @@ object SparkEntry {
         .orderBy("role")
     }),
 
+    // ---- one JANITOR cycle: retention → deletes → merges → GC ------------
+    // The integrated maintenance loop over a 7-split table: the old split
+    // (wholly before 2024-01-08) is dropped by retention, every recent
+    // split has its role:tool docs deleted, the rewritten survivors merge
+    // 4-way, and the table is read back THROUGH the maintained splits.
+    // DuckDB recomputes the surviving per-role aggregate.
+    "m_janitor_cycle" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-janitor").toString
+      val table = new graft.sources.TranscriptTable(dir, s)
+      val tr = transcripts(s, d)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      val cutoff = lit("2024-01-08").cast("timestamp")
+      val cutUs = 1704672000000000L // 2024-01-08T00:00Z µs
+      table.append(tr.filter(col("ts") < cutoff), delta(-1, 1), numFiles = 1)
+      (0 until 6).foreach { i =>
+        table.append(
+          tr.filter(col("ts") >= cutoff &&
+            pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(6L)) === i.toLong),
+          delta(i + 1, i + 2), numFiles = 1)
+      }
+      val cfg = MergePolicy.Config(mergeFactor = 3, maxMergeFactor = 4,
+        minLevelNumDocs = 1000000000L, splitNumDocsTarget = 10000000000L)
+      val rep = graft.publish.Janitor.cycle(dir, s, cfg,
+        deleteTasks = Seq(graft.publish.DeleteExecutor.DeleteTask(5L,
+          graft.queryast.QueryAst.Term("role", "tool"))),
+        retentionCutoffMicros = Some(cutUs))
+      val snap = table.store.currentSnapshot().get
+      val ok = rep.retentionDropped.size == 1 &&
+        rep.deleteRewritten + rep.deleteBumped == 6 &&
+        rep.merged == 1 && rep.deletedDocs > 0 &&
+        snap.splits.forall(_.deleteOpstamp == 5L)
+      table.scan()
+        .groupBy(col("role"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+        .withColumn("janitor_ok", lit(ok))
+        .orderBy("role")
+    }),
+
     // ---- ES _bulk NDJSON ingest (elasticsearch_api/bulk.rs:79-143) ------
     // One bulk body per conversation (action+source line pairs in turn
     // order); turn_idx%9=0 plants a malformed action line, %4=0 a
@@ -2457,6 +2497,14 @@ object SparkEntry {
         |  min(ts) AS first_ts, max(ts) AS last_ts,
         |  TRUE AS merge_ok
         |FROM transcripts GROUP BY role ORDER BY role""".stripMargin),
+
+    "m_janitor_cycle" -> (TranscriptsCte +
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  TRUE AS janitor_ok
+        |FROM transcripts
+        |WHERE ts >= TIMESTAMP '2024-01-08' AND role <> 'tool'
+        |GROUP BY role ORDER BY role""".stripMargin),
 
     "m_delete_execute" -> (TranscriptsCte +
       """SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
