@@ -66,14 +66,33 @@ object EsApi {
     * agg tree. `_id` comes from `id`; `_source` is the doc→JSON
     * back-projection of the frame's columns (to_json of the row struct). */
   def search(df: DataFrame, resolver: FieldResolver, id: Column,
-             bodyJson: String): String = {
+             bodyJson: String): String =
+    search(df, resolver, id, bodyJson, cursorOverride = None,
+      extraSort = Nil, includeAggs = true)
+
+  /** `_search` with the scroll hooks: `cursorOverride` replaces the body's
+    * `search_after` (the scroll context's stored cursor), `extraSort`
+    * appends trailing tiebreak criteria (a unique id sort makes the scroll
+    * cursor a total order — ties can never drop rows), and
+    * `includeAggs = false` skips aggregations (ES serves them only on the
+    * FIRST scroll response). */
+  def search(df: DataFrame, resolver: FieldResolver, id: Column,
+             bodyJson: String, cursorOverride: Option[Seq[Any]],
+             extraSort: Seq[(String, Boolean)],
+             includeAggs: Boolean): String = {
     val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
     val filtered = m.get("query").map { q =>
       df.filter(EsDsl.fromParsed(q, resolver.defaultFields).toColumn(resolver))
     }.getOrElse(df)
     val size = m.get("size").map(_.asInstanceOf[Double].toInt).getOrElse(10)
-    val from = m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
-    val sortSpec = m.get("sort").map(parseSort).getOrElse(Nil)
+    // a cursor resume and an offset are mutually exclusive (ES rejects
+    // from+search_after together); scroll continuations force from = 0
+    val from =
+      if (cursorOverride.isDefined) 0
+      else m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
+    val bodySort = m.get("sort").map(parseSort).getOrElse(Nil)
+    val sortSpec = bodySort ++
+      extraSort.filterNot { case (f, _) => bodySort.exists(_._1 == f) }
 
     // `_score` is not a column: on this filter-only engine every match has
     // the ES constant_score of 1.0 (the reference's sort-by-score path runs
@@ -101,8 +120,8 @@ object EsApi {
     }
     // search_after: resume strictly after the cursor tuple, respecting each
     // criterion's direction (collector.rs:316-341 generalized to desc)
-    val afterFiltered = m.get("search_after").map { sa =>
-      val vals = sa.asInstanceOf[Seq[Any]]
+    val afterFiltered = cursorOverride
+      .orElse(m.get("search_after").map(_.asInstanceOf[Seq[Any]])).map { vals =>
       require(sortSpec.nonEmpty, "search_after requires a sort") // ES validation error
       require(vals.size == sortSpec.size,
         s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
@@ -159,12 +178,13 @@ object EsApi {
           s"""{"_id":$idJ$idxJ$sortJ,"_source":${r.getAs[String]("_src")}}"""
         }
       }
-    val aggsJson = m.get("aggs").orElse(m.get("aggregations")).map { _ =>
-      val rendered = EsAggs.search(df, resolver,
-        bodyJson) // EsAggs re-applies the query filter on the same body
-      // splice the {"aggregations": ...} envelope's inner object
-      rendered.stripPrefix("{").stripSuffix("}")
-    }
+    val aggsJson = m.get("aggs").orElse(m.get("aggregations"))
+      .filter(_ => includeAggs).map { _ =>
+        val rendered = EsAggs.search(df, resolver,
+          bodyJson) // EsAggs re-applies the query filter on the same body
+        // splice the {"aggregations": ...} envelope's inner object
+        rendered.stripPrefix("{").stripSuffix("}")
+      }
     val hitsBlock =
       s""""hits":{"total":{"value":$total,"relation":"eq"},"hits":[${hitsJson.mkString(",")}]}"""
     s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}"""
