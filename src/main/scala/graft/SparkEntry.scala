@@ -699,6 +699,15 @@ object SparkEntry {
     "d_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // Exact duplicated-substring stats (Lee et al. 2021 suffix-array dedup
+    // re-expressed as window fingerprints): per doc, how many 8-token
+    // windows repeat corpus-wide and the merged duplicated-token coverage
+    // a span-removal pass would cut. DuckDB recomputes with gram STRINGS
+    // as keys (the operator shuffles xxhash64 keys — same answer).
+    "d_span_dup" -> ((s, d) =>
+      Dedup.duplicatedSpanStats(t(s, d, "documents"), col("doc_id"), col("text"), L = 8)
+        .orderBy("doc_id")),
+
     "d_token_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").withColumn("tokens", array_distinct(Tokenizers.default(col("text")))),
@@ -2077,6 +2086,31 @@ object SparkEntry {
     "d_exact" ->
       """SELECT text AS text_key, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
+
+    "d_span_dup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS w_pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS gram
+        |  FROM sized, unnest(generate_series(1, n - 7)) t(i)
+        |  WHERE n >= 8),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+        |dpos AS (SELECT w.doc_id, w.w_pos FROM wins w JOIN dup USING (gram)),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    coalesce(least(8, lead(w_pos) OVER (PARTITION BY doc_id ORDER BY w_pos) - w_pos), 8) AS c
+        |  FROM dpos),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+        |               CAST(sum(c) AS BIGINT) AS dup_tokens
+        |        FROM contrib GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(greatest(n - 7, 0) AS BIGINT) AS total_windows,
+        |  coalesce(dup_windows, 0) AS dup_windows,
+        |  coalesce(dup_tokens, 0) AS dup_tokens
+        |FROM sized s LEFT JOIN agg USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "d_token_jaccard" ->
       """WITH toks AS (

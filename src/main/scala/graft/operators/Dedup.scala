@@ -19,6 +19,58 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
       .drop("_h")
 
+  /** Exact duplicated-SUBSTRING statistics — the suffix-array substring
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") re-expressed Spark-first as position-wise
+    * window fingerprints: every L-token window is hashed; a window whose
+    * hash occurs ≥ `minOccurrences` times corpus-wide (within OR across
+    * docs) anchors a duplicated span; per doc the overlapping anchor
+    * windows are union-merged by ONE `lead()` pass over sorted window
+    * starts (equal-length intervals: each contributes
+    * min(L, next_start − start), the last contributes L) — never an
+    * interval materialization. `dup_tokens` is exactly the token count a
+    * span-removal pass would cut.
+    *
+    * Scale: per-doc window generation is a narrow columnar pass; the only
+    * shuffles are the window-hash aggregation and the hash-keyed join
+    * back (grams travel as xxhash64 keys, never text); the merge window
+    * partitions by doc, bounded by doc length. Tokens are alnum-only
+    * ([[graft.functions.Tokenizers.default]]), so the space join in the
+    * window key is unambiguous. */
+  def duplicatedSpanStats(df: DataFrame, id: Column, text: Column,
+                          L: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+        graft.functions.Tokenizers.default(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = toks
+      .withColumn("whashes",
+        when(col("n_tokens") >= L,
+          transform(sequence(lit(1), (col("n_tokens") - (L - 1)).cast("int")),
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(L))))))
+          .otherwise(array().cast("array<bigint>")))
+      .select(col("doc_id"), posexplode(col("whashes")))
+      .withColumnRenamed("pos", "w_pos").withColumnRenamed("col", "whash")
+    val dupHashes = wins.groupBy("whash")
+      .agg(count(lit(1)).as("occs"))
+      .filter(col("occs") >= minOccurrences)
+      .select("whash")
+    val byDoc = Window.partitionBy("doc_id").orderBy("w_pos")
+    val contrib = wins.join(dupHashes, "whash")
+      .select(col("doc_id"), col("w_pos"))
+      .withColumn("c",
+        coalesce(least(lit(L.toLong),
+          (lead(col("w_pos"), 1).over(byDoc) - col("w_pos")).cast("long")),
+          lit(L.toLong)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"), sum(col("c")).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (L - 1), lit(0L)).as("total_windows"))
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("total_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Character shingles of length k over the normalized text. */
   def shingles(text: Column, k: Int): Column = {
     val norm = lower(regexp_replace(coalesce(text, lit("")), "\\s+", " "))

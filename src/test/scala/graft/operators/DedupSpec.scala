@@ -235,6 +235,28 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).forall(_ === 1L))
   }
 
+  test("duplicated-span stats: cross-doc and within-doc spans, merged coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                   // shares "a b c d e" with 2
+      (2L, "x a b c d e y z"),
+      (3L, "completely different tokens here nothing shared at all"),
+      (4L, "tiny doc"),                          // shorter than L
+      (5L, "p q r s t p q r s t")                // self-repeating
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), L = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: windows 0,1 duplicated → union [0,4)∪[1,5) = 5 tokens
+    // doc 5: windows 0,1,5,6 duplicated → union covers all 10 tokens
+    assert(got.toSeq === Seq(
+      (1L, 8L, 5L, 2L, 5L),
+      (2L, 8L, 5L, 2L, 5L),
+      (3L, 8L, 5L, 0L, 0L),
+      (4L, 2L, 0L, 0L, 0L),
+      (5L, 10L, 7L, 4L, 10L)))
+  }
+
   test("connected components: pointer jumping converges long chains in O(log d)") {
     import spark.implicits._
     // 40-node path: plain min-propagation needs 39 rounds; with per-round
