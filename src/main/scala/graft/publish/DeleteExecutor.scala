@@ -41,56 +41,73 @@ object DeleteExecutor {
     s"delete-$opstamp-$splitId"
 
   def run(tableDir: String, spark: SparkSession, tasks: Seq[DeleteTask],
-          resolver: FieldResolver = FieldResolver(Set("text"), Seq("text"))): Result = {
+          resolver: FieldResolver = FieldResolver(Set("text"), Seq("text")),
+          concurrency: Int = 2): Result = {
     val store = new Manifest.Store(tableDir)
     val snap = store.currentSnapshot().getOrElse(Manifest.Snapshot(0L, Nil, Map.empty))
     if (tasks.isEmpty) return Result(Nil, Nil, 0L)
     val maxOpstamp = tasks.map(_.opstamp).max
-    val rewritten = Seq.newBuilder[SplitEntry]
-    val bumped = Seq.newBuilder[SplitEntry]
-    var deletedDocs = 0L
-    snap.splits.filter(_.deleteOpstamp < maxOpstamp).foreach { s =>
-      val applicable = tasks.filter(_.opstamp > s.deleteOpstamp)
-      val doomed = applicable.map(_.query.toColumn(resolver)).reduce(_ || _)
-      val files = s.files.map(_.replaceFirst("^file:", ""))
-      val df = spark.read.parquet(files: _*)
-      val matches = df.filter(doomed).count()
-      if (matches == 0L) {
-        // bump_opstamp: metadata-only republish of the same id
-        val entry = s.copy(deleteOpstamp = maxOpstamp)
-        store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
-          .foreach(_ => bumped += entry)
-      } else if (matches >= s.numDocs) {
-        // every doc matched: drop the split outright — no empty split is
-        // ever staged (the reference's whole-split delete arm)
-        store.publish(Nil, Set(s.splitId), Checkpoint.Delta(Nil))
-          .foreach(_ => deletedDocs += matches)
-      } else {
-        val newId = rewrittenSplitId(s.splitId, maxOpstamp)
-        val outDir = s"$tableDir/data/$newId"
-        val kept = df.filter(!doomed).persist()
-        try {
-          val written = SplitStaging.writeSorted(kept, outDir)
-          val stats = SplitStaging.stats(kept)
-          // fieldRanges carry over UNCHANGED: the surviving rows are a
-          // subset, so the recorded [min,max] is a superset of the true
-          // range — skipping stays conservative, never lossy
-          val entry = s.copy(
-            splitId = newId,
-            numDocs = stats.numDocs,
-            uncompressedBytes = stats.bytes,
-            timeRangeStartMicros = stats.minUs.getOrElse(s.timeRangeStartMicros),
-            timeRangeEndMicros = stats.maxUs.getOrElse(s.timeRangeEndMicros),
-            numMergeOps = s.numMergeOps + 1,
-            deleteOpstamp = maxOpstamp,
-            files = written)
-          store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil)) match {
-            case Right(_) => rewritten += entry; deletedDocs += matches
-            case Left(_)  => () // raced: converged by a concurrent executor
+    val stale = snap.splits.filter(_.deleteOpstamp < maxOpstamp)
+    // splits are independent units of work (the planner caps them at 1000
+    // per run): fan them out like MergeExecutor's batches instead of one
+    // sequential driver loop — publishes serialize on the store's lock
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    sealed trait Outcome
+    final case class Rewrote(e: SplitEntry, docs: Long) extends Outcome
+    final case class Bumped(e: SplitEntry) extends Outcome
+    final case class Dropped(docs: Long) extends Outcome
+    case object Raced extends Outcome
+    try {
+      val jobs = stale.map { s =>
+        scala.concurrent.Future[Outcome] {
+          val applicable = tasks.filter(_.opstamp > s.deleteOpstamp)
+          val doomed = applicable.map(_.query.toColumn(resolver)).reduce(_ || _)
+          val files = s.files.map(_.replaceFirst("^file:", ""))
+          val df = spark.read.parquet(files: _*)
+          val matches = df.filter(doomed).count()
+          if (matches == 0L) {
+            // bump_opstamp: metadata-only republish of the same id
+            val entry = s.copy(deleteOpstamp = maxOpstamp)
+            store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
+              .fold(_ => Raced, _ => Bumped(entry))
+          } else if (matches >= s.numDocs) {
+            // every doc matched: drop the split outright — no empty split
+            // is ever staged (the reference's whole-split delete arm)
+            store.publish(Nil, Set(s.splitId), Checkpoint.Delta(Nil))
+              .fold(_ => Raced, _ => Dropped(matches))
+          } else {
+            val newId = rewrittenSplitId(s.splitId, maxOpstamp)
+            val outDir = s"$tableDir/data/$newId"
+            val kept = df.filter(!doomed).persist()
+            try {
+              val written = SplitStaging.writeSorted(kept, outDir)
+              val stats = SplitStaging.stats(kept)
+              // fieldRanges carry over UNCHANGED: the surviving rows are a
+              // subset, so the recorded [min,max] is a superset of the true
+              // range — skipping stays conservative, never lossy
+              val entry = s.copy(
+                splitId = newId,
+                numDocs = stats.numDocs,
+                uncompressedBytes = stats.bytes,
+                timeRangeStartMicros = stats.minUs.getOrElse(s.timeRangeStartMicros),
+                timeRangeEndMicros = stats.maxUs.getOrElse(s.timeRangeEndMicros),
+                numMergeOps = s.numMergeOps + 1,
+                deleteOpstamp = maxOpstamp,
+                files = written)
+              store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
+                .fold(_ => Raced, _ => Rewrote(entry, matches))
+            } finally kept.unpersist()
           }
-        } finally kept.unpersist()
+        }
       }
-    }
-    Result(rewritten.result(), bumped.result(), deletedDocs)
+      val outcomes = jobs.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      Result(
+        outcomes.collect { case Rewrote(e, _) => e },
+        outcomes.collect { case Bumped(e) => e },
+        outcomes.collect { case Rewrote(_, d) => d; case Dropped(d) => d }.sum)
+    } finally pool.shutdown()
   }
 }
