@@ -102,8 +102,15 @@ object DeleteExecutor {
           }
         }
       }
-      val outcomes = jobs.map(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      // Await EVERY job before surfacing any failure: rethrowing on the
+      // first bad future would leave queued jobs publishing in the
+      // background after the caller observed an error (pool.shutdown()
+      // does not cancel queued tasks) — the report must reflect the
+      // table's actual end state.
+      val settled = jobs.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      val outcomes = settled.collect { case scala.util.Success(o) => o }
       Result(
         outcomes.collect { case Rewrote(e, _) => e },
         outcomes.collect { case Bumped(e) => e },

@@ -13,7 +13,13 @@ object RetentionExecutor {
   def run(tableDir: String, cutoffMicros: Long): Seq[String] = {
     val store = new Manifest.Store(tableDir)
     val snap = store.currentSnapshot().getOrElse(return Nil)
-    val expired = snap.splits.filter(_.timeRangeEndMicros < cutoffMicros).map(_.splitId)
+    // 0L is the NO-TIMESTAMP sentinel (an all-null-ts batch): a split
+    // without a time range is never retention-eligible, exactly as the
+    // reference skips splits lacking one — dropping it would destroy
+    // rows that carry no event time at all
+    val expired = snap.splits
+      .filter(s => s.timeRangeEndMicros > 0L && s.timeRangeEndMicros < cutoffMicros)
+      .map(_.splitId)
     if (expired.isEmpty) Nil
     else store.publish(Nil, expired.toSet, Checkpoint.Delta(Nil)) match {
       case Right(_) => expired

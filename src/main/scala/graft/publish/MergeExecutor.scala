@@ -96,8 +96,12 @@ object MergeExecutor {
           }
         }
       }
-      val done = jobs.map(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      // await EVERY batch before surfacing a failure — queued jobs keep
+      // publishing after shutdown(), so the result must reflect them
+      val settled = jobs.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      val done = settled.collect { case scala.util.Success(o) => o }
       Result(done.flatten.map(_._1),
         done.flatten.flatMap(_._2).toSet,
         done.count(_.isEmpty))

@@ -73,13 +73,30 @@ object EsApi {
   /** `_search` with the scroll hooks: `cursorOverride` replaces the body's
     * `search_after` (the scroll context's stored cursor), `extraSort`
     * appends trailing tiebreak criteria (a unique id sort makes the scroll
-    * cursor a total order — ties can never drop rows), and
+    * cursor a total order — ties can never drop rows),
     * `includeAggs = false` skips aggregations (ES serves them only on the
-    * FIRST scroll response). */
+    * FIRST scroll response), and `totalOverride` reuses the total fixed at
+    * scroll-open time instead of re-counting per page. */
   def search(df: DataFrame, resolver: FieldResolver, id: Column,
              bodyJson: String, cursorOverride: Option[Seq[Any]],
              extraSort: Seq[(String, Boolean)],
-             includeAggs: Boolean): String = {
+             includeAggs: Boolean,
+             totalOverride: Option[Long] = None): String =
+    searchPage(df, resolver, id, bodyJson, cursorOverride, extraSort,
+      includeAggs, totalOverride).rendered
+
+  /** A rendered page plus the NATIVE machinery the scroll context needs:
+    * the last hit's raw sort values (full i64/timestamp precision — a
+    * JSON re-parse would collapse longs beyond 2^53 to doubles) and the
+    * page's total. */
+  final case class Page(rendered: String, lastSortValues: Option[Seq[Any]],
+                        total: Long)
+
+  def searchPage(df: DataFrame, resolver: FieldResolver, id: Column,
+                 bodyJson: String, cursorOverride: Option[Seq[Any]],
+                 extraSort: Seq[(String, Boolean)],
+                 includeAggs: Boolean,
+                 totalOverride: Option[Long] = None): Page = {
     val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
     val filtered = m.get("query").map { q =>
       df.filter(EsDsl.fromParsed(q, resolver.defaultFields).toColumn(resolver))
@@ -101,7 +118,9 @@ object EsApi {
     // unresolved column).
     def sortCol(f: String): Column = if (f == "_score") lit(1.0d) else col(f)
 
-    val total = filtered.count() // ES total counts ALL matches, cursor-independent
+    // ES total counts ALL matches, cursor-independent; the scroll context
+    // fixes it at open time and passes it back per continuation
+    val total = totalOverride.getOrElse(filtered.count())
     // A cursor value echoed from hits[].sort must be re-typed by the SORT
     // COLUMN's type: date sort values travel as epoch millis on the wire
     // (svJson), so a numeric cursor against a timestamp column is millis,
@@ -126,14 +145,21 @@ object EsApi {
       require(vals.size == sortSpec.size,
         s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
       val cs = sortSpec.map { case (f, asc) => (sortCol(f), asc, f) }
+      // Null-aware resume matching the missing-LAST sort order: equality
+      // arms use null-safe <=>; "strictly after a non-null value" includes
+      // every null row (nulls are the tail in both directions); "strictly
+      // after null" is only reachable through deeper tiebreak criteria.
+      def strictlyAfter(c: Column, asc: Boolean, f: String, v: Any): Column =
+        if (v == null) lit(false)
+        else (if (asc) c > cursorLit(f, v) else c < cursorLit(f, v)) || c.isNull
       val pred = cs.indices.map { i =>
-        (cs.take(i).zip(vals).map { case ((c, _, f), v) => c === cursorLit(f, v) } :+
-          (if (cs(i)._2) cs(i)._1 > cursorLit(cs(i)._3, vals(i))
-           else cs(i)._1 < cursorLit(cs(i)._3, vals(i))))
+        (cs.take(i).zip(vals).map { case ((c, _, f), v) => c <=> cursorLit(f, v) } :+
+          strictlyAfter(cs(i)._1, cs(i)._2, cs(i)._3, vals(i)))
           .reduce(_ && _)
       }.reduce(_ || _)
       filtered.filter(pred)
     }.getOrElse(filtered)
+    var lastSv: Option[Seq[Any]] = None // native, full-precision cursor
     val hitsJson: Seq[String] =
       if (size == 0) Nil
       else {
@@ -160,7 +186,12 @@ object EsApi {
             svCol,
             idxCol),
           sortCols, offset = from, k = size)
-        page.collect().toSeq.map { r =>
+        val collected = page.collect().toSeq
+        if (sortSpec.nonEmpty) lastSv = collected.lastOption.map { r =>
+          val sv = r.getAs[org.apache.spark.sql.Row]("_sv")
+          (0 until sv.length).map(sv.get)
+        }
+        collected.map { r =>
           val idJ = r.get(0) match {
             case s: String => graft.operators.EsAggResponse.esc(s)
             case other     => other.toString
@@ -187,7 +218,8 @@ object EsApi {
       }
     val hitsBlock =
       s""""hits":{"total":{"value":$total,"relation":"eq"},"hits":[${hitsJson.mkString(",")}]}"""
-    s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}"""
+    Page(s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}""",
+      lastSv, total)
   }
 
   /** Render one hits[].sort value by its RUNTIME type: strings stay JSON

@@ -26,11 +26,12 @@ object EsScroll {
 
   val MaxTtlSecs = 1800L
 
-  /** `30m`/`1800s`-style TTL. Over the cap → the reference's error. */
+  /** `30m`/`1800s`-style TTL. Over the cap → the reference's error.
+    * Sub-second TTLs round UP — `500ms` must outlive its own creation. */
   def parseTtlSecs(s: String): Long = {
     val pat = "([0-9]+)(ms|s|m|h)".r
     val secs = s.trim match {
-      case pat(n, "ms") => n.toLong / 1000
+      case pat(n, "ms") => (n.toLong + 999) / 1000
       case pat(n, "s")  => n.toLong
       case pat(n, "m")  => n.toLong * 60
       case pat(n, "h")  => n.toLong * 3600
@@ -47,6 +48,7 @@ object EsScroll {
                                    idCol: Column, idField: String,
                                    bodyJson: String,
                                    cursor: Option[Seq[Any]],
+                                   total: Long,
                                    deadlineMs: Long, ttlMs: Long)
 
     private val store = TrieMap.empty[String, State]
@@ -57,22 +59,29 @@ object EsScroll {
     }
 
     /** Opening `_search?scroll=TTL`. `idField` names the unique id column
-      * (also the `_id` source) used as the trailing tiebreak sort. */
+      * (also the `_id` source) used as the trailing tiebreak sort. The
+      * cursor and total are carried NATIVELY from the page (full i64 /
+      * timestamp precision — never re-parsed from the rendered JSON). */
     def search(df: DataFrame, resolver: FieldResolver, idField: String,
                bodyJson: String, scrollTtl: String): String = {
       evictExpired()
       val ttlMs = parseTtlSecs(scrollTtl) * 1000L
       val idCol = org.apache.spark.sql.functions.col(idField)
-      val rendered = EsApi.search(df, resolver, idCol, bodyJson,
+      val page = EsApi.searchPage(df, resolver, idCol, bodyJson,
         cursorOverride = None, extraSort = Seq(idField -> true), includeAggs = true)
       val sid = java.util.UUID.randomUUID().toString
       store.put(sid, State(df, resolver, idCol, idField, bodyJson,
-        lastCursor(rendered), clock() + ttlMs, ttlMs))
-      splice(sid, rendered)
+        page.lastSortValues, page.total, clock() + ttlMs, ttlMs))
+      splice(sid, page.rendered)
     }
 
-    /** `_search/scroll` continuation. Unknown/expired ids get the
-      * reference-shaped failure. */
+    /** `_search/scroll` continuation: one bounded TakeOrdered job per page
+      * (the total is the one fixed at open — no per-page count job).
+      * Unknown/expired ids get the reference-shaped failure. The
+      * window-CACHED variant of this machinery (serve many tiny pages per
+      * refill, scroll_context.rs's batch shape) is
+      * [[graft.operators.ScrollContext]] for programmatic callers; the ES
+      * envelope layer keeps pages stateless beyond the cursor. */
     def scroll(scrollId: String): String = {
       evictExpired()
       val st = store.getOrElse(scrollId,
@@ -81,26 +90,17 @@ object EsScroll {
       // after the true last row is the empty set, total stays intact —
       // no special casing (a cursor of None means the result set itself
       // is empty, and the cursorless replay is equally empty)
-      val rendered = EsApi.search(st.df, st.resolver, st.idCol, st.bodyJson,
+      val page = EsApi.searchPage(st.df, st.resolver, st.idCol, st.bodyJson,
         cursorOverride = st.cursor, extraSort = Seq(st.idField -> true),
-        includeAggs = false)
-      val next = lastCursor(rendered)
+        includeAggs = false, totalOverride = Some(st.total))
       store.put(scrollId,
-        st.copy(cursor = next.orElse(st.cursor), deadlineMs = clock() + st.ttlMs))
-      splice(scrollId, rendered)
+        st.copy(cursor = page.lastSortValues.orElse(st.cursor),
+          deadlineMs = clock() + st.ttlMs))
+      splice(scrollId, page.rendered)
     }
 
     /** DELETE `_search/scroll`. */
     def clear(scrollId: String): Boolean = store.remove(scrollId).isDefined
-
-    /** The last hit's sort values from the rendered envelope — the next
-      * cursor. None when the page is empty. */
-    private def lastCursor(rendered: String): Option[Seq[Any]] = {
-      val parsed = graft.util.Json.parse(rendered).asInstanceOf[Map[String, Any]]
-      val hits = parsed("hits").asInstanceOf[Map[String, Any]]("hits")
-        .asInstanceOf[Seq[Any]]
-      hits.lastOption.map(_.asInstanceOf[Map[String, Any]]("sort").asInstanceOf[Seq[Any]])
-    }
 
     private def splice(sid: String, rendered: String): String =
       s"""{"_scroll_id":"$sid",""" + rendered.stripPrefix("{")

@@ -13,6 +13,22 @@ class JanitorSpec extends SparkTestBase {
   private def delta(from: Long, to: Long) =
     Checkpoint.Delta(Seq(Checkpoint.PartitionDelta("src", from, to)))
 
+  test("retention never drops the no-timestamp sentinel split") {
+    import spark.implicits._
+    val dir = tmpDir("janitor-sentinel")
+    val table = new TranscriptTable(dir, spark)
+    val turns = TranscriptGen.turns(numConvs = 5, avgTurns = 4)
+    // a batch whose ts are ALL NULL records the 0L sentinel time range
+    val nullTs = turns.toDS().toDF()
+      .withColumn("ts", lit(null).cast("timestamp"))
+    table.append(nullTs, delta(-1, 1), numFiles = 1)
+    val s = table.store.currentSnapshot().get.splits.head
+    assert(s.timeRangeEndMicros === 0L)
+    // any positive cutoff would have matched end < cutoff — it must not
+    assert(RetentionExecutor.run(dir, cutoffMicros = Long.MaxValue) === Nil)
+    assert(table.scan().count() === turns.size.toLong)
+  }
+
   test("full cycle: expired splits drop, deletes apply, survivors merge, GC reaps") {
     import spark.implicits._
     val dir = tmpDir("janitor")

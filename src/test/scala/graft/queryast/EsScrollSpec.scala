@@ -73,6 +73,44 @@ class EsScrollSpec extends SparkTestBase {
       "Invalid argument: Quickwit only supports scroll TTL period up to 1800 secs")
     assert(EsScroll.parseTtlSecs("30m") === 1800L)
     assert(EsScroll.parseTtlSecs("90s") === 90L)
+    // sub-second TTLs round UP — "500ms" must outlive its own creation
+    assert(EsScroll.parseTtlSecs("500ms") === 1L)
+  }
+
+  test("null sort values page through: the null tail is served, never dropped") {
+    import spark.implicits._
+    // 30 docs, 10 with null category: sort asc puts the nulls LAST; the
+    // cursor must carry the scroll THROUGH the null tail
+    val mixed = (1 to 30).map(i =>
+      (i.toLong, s"d$i", if (i % 3 == 0) null else s"cat${i % 4}"))
+      .toDF("id", "name", "category")
+    val ctx = new EsScroll.Context()
+    val r1 = parsed(ctx.search(mixed, resolver, "id",
+      """{"size":7,"sort":[{"category":"asc"}]}""", "30m"))
+    val sid = r1("_scroll_id").asInstanceOf[String]
+    val pages = Iterator.continually(parsed(ctx.scroll(sid)))
+      .takeWhile(p => hits(p).nonEmpty).take(10).toSeq
+    val ids = (hits(r1) ++ pages.flatMap(hits)).map(_("_id").asInstanceOf[Double])
+    assert(ids.size === 30 && ids.distinct.size === 30)
+    // and the null-category docs are the TAIL of the scroll order
+    val nullIds = (1 to 30).filter(_ % 3 == 0).map(_.toDouble).toSet
+    assert(ids.takeRight(10).toSet === nullIds)
+  }
+
+  test("i64 sort values beyond 2^53 keep full precision across the cursor") {
+    import spark.implicits._
+    val base = (1L << 53) // doubles collapse adjacent values up here
+    val big = (0 until 12).map(i => (base + i, s"d$i")).toDF("id", "name")
+    val ctx = new EsScroll.Context()
+    val r1 = parsed(ctx.search(big, resolver, "id",
+      """{"size":5,"sort":[{"id":"asc"}]}""", "30m"))
+    val sid = r1("_scroll_id").asInstanceOf[String]
+    val pages = Iterator.continually(parsed(ctx.scroll(sid)))
+      .takeWhile(p => hits(p).nonEmpty).take(5).toSeq
+    // a JSON-re-parsed cursor would compare equal across adjacent ids and
+    // skip or repeat rows; the native cursor pages 5/5/2 exactly once each
+    assert((hits(r1) ++ pages.flatMap(hits)).size === 12)
+    assert(pages.map(p => hits(p).size) === Seq(5, 2))
   }
 
   test("expired contexts are evicted; sort-value ties never drop rows") {
