@@ -216,10 +216,30 @@ object EsApi {
         // splice the {"aggregations": ...} envelope's inner object
         rendered.stripPrefix("{").stripSuffix("}")
       }
+    // track_total_hits (elasticsearch_api/mod.rs TrackTotalHits): `false`
+    // omits the total, an integer n caps the reported value at n with
+    // relation "gte" when more match, `true`/absent tracks exactly (this
+    // engine is exact, so "eq" is always truthful).
+    val totalBlock = m.get("track_total_hits") match {
+      case Some(false) => ""
+      case Some(n: Double) if total > n.toLong =>
+        s""""total":{"value":${n.toLong},"relation":"gte"},"""
+      case _ => s""""total":{"value":$total,"relation":"eq"},"""
+    }
     val hitsBlock =
-      s""""hits":{"total":{"value":$total,"relation":"eq"},"hits":[${hitsJson.mkString(",")}]}"""
+      s""""hits":{$totalBlock"hits":[${hitsJson.mkString(",")}]}"""
     Page(s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}""",
       lastSv, total)
+  }
+
+  /** `GET /_elastic` cluster-info banner — the version probe ES clients
+    * issue before any request (rest_handler.rs:63-84's exact shape). */
+  def clusterInfo(nodeId: String, clusterId: String, version: String,
+                  commitHash: String, buildDate: String): String = {
+    val e = graft.operators.EsAggResponse.esc _
+    s"""{"name":${e(nodeId)},"cluster_name":${e(clusterId)},""" +
+      s""""version":{"distribution":"quickwit","number":${e(version)},""" +
+      s""""build_hash":${e(commitHash)},"build_date":${e(buildDate)}}}"""
   }
 
   /** Render one hits[].sort value by its RUNTIME type: strings stay JSON

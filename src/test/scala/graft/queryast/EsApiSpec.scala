@@ -189,6 +189,30 @@ class EsApiSpec extends SparkTestBase {
     assert(next.head("sort") === Seq("45"))
   }
 
+  test("cluster info banner matches the reference handler's exact shape") {
+    import graft.util.Json
+    val got = Json.parse(EsApi.clusterInfo(
+      "node-1", "graft-cluster", "0.8.1", "abc123", "2024-01-01"))
+    assert(got === Json.parse(
+      """{"name":"node-1","cluster_name":"graft-cluster",
+        |"version":{"distribution":"quickwit","number":"0.8.1",
+        |"build_hash":"abc123","build_date":"2024-01-01"}}""".stripMargin))
+  }
+
+  test("track_total_hits: false omits total, integer caps with gte, true stays eq") {
+    import graft.util.Json
+    def hitsBlock(body: String): Map[String, Any] =
+      Json.parse(EsApi.search(docs, resolver, col("doc_id"), body))
+        .asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Map[String, Any]]
+    assert(!hitsBlock("""{"size":1,"track_total_hits":false}""").contains("total"))
+    assert(hitsBlock("""{"size":1,"track_total_hits":2}""")("total") ===
+      Map("value" -> 2.0, "relation" -> "gte")) // 3 match, capped at 2
+    assert(hitsBlock("""{"size":1,"track_total_hits":10}""")("total") ===
+      Map("value" -> 3.0, "relation" -> "eq")) // under the cap: exact
+    assert(hitsBlock("""{"size":1,"track_total_hits":true}""")("total") ===
+      Map("value" -> 3.0, "relation" -> "eq"))
+  }
+
   test("_search: date sort cursors round-trip as epoch millis (the ES wire form)") {
     import graft.util.Json
     import spark.implicits._
