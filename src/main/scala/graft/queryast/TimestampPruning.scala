@@ -77,19 +77,33 @@ object TimestampPruning {
     else epoch / 1000L
   }
 
+  /** The reference's FULL default datetime-literal chain for query-language
+    * bounds (quickwit-query/src/json_literal.rs:29-45): RFC 3339, RFC 2822,
+    * epoch with unit inference, `%Y-%m-%dT%H:%M:%S`,
+    * `%Y-%m-%d %H:%M:%S(.%f)`, `%Y-%m-%d`, `%Y/%m/%d`. RFC 2822 is
+    * approximated by RFC 1123 (java's closest; 2-digit-year archaisms are
+    * the documented gap). */
   private def interpretString(s: String): Option[Long] = {
     val t = s.trim
     def attempt[A](f: => A)(g: A => Long): Option[Long] =
       try Some(g(f)) catch { case _: java.time.format.DateTimeParseException => None }
+    def ofLocal(l: java.time.LocalDateTime): Long =
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
     if (t.matches("-?[0-9]+"))
       try Some(inferUnitMicros(t.toLong)) catch { case _: NumberFormatException => None }
     else if (t.matches("-?[0-9]+\\.[0-9]+$")) Some((t.toDouble * 1e6).toLong)
     else
       attempt(java.time.OffsetDateTime.parse(t))(o =>
           o.toEpochSecond * 1000000L + o.getNano / 1000)
-        .orElse(attempt(java.time.LocalDateTime.parse(t))(l =>
-          l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000))
+        .orElse(attempt(java.time.OffsetDateTime.parse(t,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME))(o =>
+          o.toEpochSecond * 1000000L + o.getNano / 1000))
+        .orElse(attempt(java.time.LocalDateTime.parse(t))(ofLocal))
+        .orElse(attempt(java.time.LocalDateTime.parse(t.replace(' ', 'T')))(ofLocal))
         .orElse(attempt(java.time.LocalDate.parse(t))(d =>
+          d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
+        .orElse(attempt(java.time.LocalDate.parse(t,
+          java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd")))(d =>
           d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
   }
 
