@@ -282,22 +282,31 @@ object MappingConfig {
     // an exact leaf wins; otherwise the LONGEST field prefix that resolves
     // to a `json` leaf captures the remainder as a json path (how the OTEL
     // configs' `body.message` resolves to the `body` json field).
-    def resolveSearchField(path: String): Option[MappingTree.Leaf] =
-      leafOf(path).orElse {
-        val segs = splitPath(path)
-        (segs.length - 1 to 1 by -1).view.flatMap { n =>
-          leafOf(MappingTree.fieldName(segs.take(n)))
-            .filter(_.typ == MappingTree.TJson)
-        }.headOption
-      }
+    def prefixJsonLeaf(path: String): Option[MappingTree.Leaf] = {
+      val segs = splitPath(path)
+      (segs.length - 1 to 1 by -1).view.flatMap { n =>
+        leafOf(MappingTree.fieldName(segs.take(n)))
+          .filter(_.typ == MappingTree.TJson)
+      }.headOption
+    }
     defaultSearchFields.foreach { f =>
       if (!seenSearch.add(f)) fail(s"duplicated default search field: `$f`")
-      resolveSearchField(f) match {
+      leafOf(f) match {
+        case Some(l) if l.typ == MappingTree.TJson =>
+          // the bare ROOT of a json field is not a searchable value — and
+          // being mapped, it can never fall through to the dynamic field
+          // (default_search_fields scenario 0002, failing2 — 400 even in
+          // dynamic mode)
+          fail(s"Unknown default search field: `$f`")
         case Some(l) =>
           if (!l.indexed) fail(s"default search field `$f` is not indexed")
-        case None =>
-          if (mapping.mode != MappingTree.Dynamic)
-            fail(s"Unknown default search field: `$f`")
+        case None => prefixJsonLeaf(f) match {
+          case Some(l) =>
+            if (!l.indexed) fail(s"default search field `$f` is not indexed")
+          case None =>
+            if (mapping.mode != MappingTree.Dynamic)
+              fail(s"Unknown default search field: `$f`")
+        }
       }
     }
 

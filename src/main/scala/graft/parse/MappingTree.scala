@@ -81,7 +81,10 @@ object MappingTree {
   case object Dynamic extends Mode
 
   final case class DocMapping(fieldMappings: Seq[Mapping], mode: Mode = Lenient,
-                              storeSource: Boolean = false)
+                              storeSource: Boolean = false,
+                              // dynamic_mapping.indexed: false ⇒ captured
+                              // fields are stored but NOT searchable
+                              dynamicIndexed: Boolean = true)
 
   // ---- naming -----------------------------------------------------------
   /** Flattened column name: path segments joined with '.', dots INSIDE a
@@ -321,5 +324,57 @@ object MappingTree {
     val kept = df.columns.filterNot(addedNames)
       .map(n => df.col("`" + n.replace("`", "``") + "`")) // dots in names stay literal
     df.select(kept ++ added.map { case (n, col) => col.as(n) }: _*)
+  }
+
+  /** Resolve a `search_settings.default_search_fields` PATH against the
+    * frame [[parse]] produces — the doc mapper's search-field binding
+    * (rest-api-tests/scenarii/default_search_fields): a path may name a
+    * mapped leaf, a path INSIDE a mapped `json` leaf
+    * (`inner_json.somefieldinjson`), or — in Dynamic mode — a field
+    * captured in `dynamic_json`. Validation mirrors the reference's
+    * exact 400 messages: an unmapped path outside Dynamic mode and the
+    * bare ROOT of a `json` leaf are unknown; a dynamic path with
+    * `dynamic_mapping.indexed: false` is not searchable. */
+  def resolveSearchField(m: DocMapping, path: String): Column = {
+    def unknown(): Nothing =
+      throw new IllegalArgumentException(s"Unknown default search field: `$path`")
+    def quoted(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    def walk(ms: Seq[Mapping], segs: List[String], walked: Seq[String]): Option[Column] =
+      segs match {
+        case head :: rest =>
+          ms.collectFirst {
+            case l: Leaf if l.name == head => l
+            case n: Node if n.name == head => n
+          }.map {
+            case l: Leaf =>
+              val base = quoted(fieldName(walked :+ head)).cast(StringType)
+              (rest, l.typ) match {
+                case (Nil, TJson) => unknown() // json ROOT is not a value
+                case (Nil, _)     => base
+                case (more, TJson) => get_json_object(base, "$." + more.mkString("."))
+                case _ => unknown() // digs into a scalar leaf
+              }
+            case n: Node =>
+              if (rest.isEmpty) unknown() // names an object, not a value
+              else walk(n.children, rest, walked :+ head).getOrElse(unknown())
+          }
+        case Nil => None
+      }
+    walk(m.fieldMappings, path.split('.').toList, Nil).getOrElse {
+      if (m.mode != Dynamic) unknown()
+      else if (!m.dynamicIndexed) throw new IllegalArgumentException(
+        s"default search field `$path` is not indexed")
+      else get_json_object(col("dynamic_json"), "$." + path)
+    }
+  }
+
+  /** Default-field full-text match over a parsed frame: every query token
+    * must match in at least one of the resolved default fields (the query
+    * language's AND-across-tokens, OR-across-default-fields shape). */
+  def defaultFieldsMatch(m: DocMapping, fields: Seq[String], query: String): Column = {
+    val resolved = fields.map(f => graft.functions.Tokenizers.default(resolveSearchField(m, f)))
+    val toks = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, "empty query")
+    toks.map(t => resolved.map(r => array_contains(r, t)).reduce(_ || _)).reduce(_ && _)
   }
 }

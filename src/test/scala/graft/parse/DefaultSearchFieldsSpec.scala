@@ -1,0 +1,77 @@
+package graft.parse
+
+import graft.SparkTestBase
+import graft.parse.MappingTree._
+import org.apache.spark.sql.functions._
+
+/** The reference's default_search_fields scenarios ported verbatim
+  * (rest-api-tests/scenarii/default_search_fields/0001, 0002): default
+  * search fields may bind a mapped text leaf, a path inside a mapped
+  * `json` leaf, or a dynamic-captured field; invalid bindings reproduce
+  * the exact 400 messages. */
+class DefaultSearchFieldsSpec extends SparkTestBase {
+
+  private val mapping = DocMapping(Seq(
+    Leaf("id", TU64),
+    Leaf("inner_json", TJson),
+    Leaf("regular_field", TText)), mode = Dynamic)
+
+  private val defaultFields =
+    Seq("regular_field", "some_dynamic_field", "inner_json.somefieldinjson")
+
+  private lazy val parsed = {
+    import spark.implicits._
+    val docs = Seq(
+      """{"id": 1, "some_dynamic_field": "hello"}""",
+      """{"id": 2, "inner_json": {"somefieldinjson": "allo"}}""",
+      """{"id": 3, "regular_field": "bonjour"}""")
+      .toDF("raw")
+    MappingTree.parse(docs, col("raw"), mapping)
+  }
+
+  test("scenario 0001: each query finds exactly its doc across all three binding kinds") {
+    def hits(q: String): Seq[Long] =
+      parsed.filter(defaultFieldsMatch(mapping, defaultFields, q))
+        .select(col("id").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(hits("hello") === Seq(1L))   // dynamic-captured field
+    assert(hits("allo") === Seq(2L))    // path inside the mapped json leaf
+    assert(hits("bonjour") === Seq(3L)) // mapped text leaf
+    assert(hits("nothing") === Nil)
+  }
+
+  test("scenario 0002: invalid default-field bindings reproduce the exact messages") {
+    // non-dynamic mode, unmapped field
+    val lenient = DocMapping(Nil, mode = Lenient)
+    val e1 = intercept[IllegalArgumentException] {
+      resolveSearchField(lenient, "regular_field")
+    }
+    assert(e1.getMessage === "Unknown default search field: `regular_field`")
+    // the bare ROOT of a json leaf is not a value
+    val e2 = intercept[IllegalArgumentException] {
+      resolveSearchField(mapping, "inner_json")
+    }
+    assert(e2.getMessage === "Unknown default search field: `inner_json`")
+    // dynamic capture not indexed
+    val unindexed = DocMapping(Nil, mode = Dynamic, dynamicIndexed = false)
+    val e3 = intercept[IllegalArgumentException] {
+      resolveSearchField(unindexed, "some_field")
+    }
+    assert(e3.getMessage === "default search field `some_field` is not indexed")
+  }
+
+  test("multi-token queries AND across tokens, OR across fields") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"id": 1, "regular_field": "hello world"}""",
+      """{"id": 2, "regular_field": "hello", "extra": "world"}""",
+      """{"id": 3, "regular_field": "hello"}""").toDF("raw")
+    val m = DocMapping(Seq(Leaf("id", TU64), Leaf("regular_field", TText)),
+      mode = Dynamic)
+    val p = MappingTree.parse(docs, col("raw"), m)
+    val got = p.filter(defaultFieldsMatch(m, Seq("regular_field", "extra"), "hello world"))
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    // doc 1: both tokens in one field; doc 2: one token per field (OR
+    // across fields, AND across tokens); doc 3: "world" missing anywhere
+    assert(got === Set(1L, 2L))
+  }
+}

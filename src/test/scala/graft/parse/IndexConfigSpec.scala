@@ -142,6 +142,14 @@ class IndexConfigSpec extends SparkTestBase {
     // dynamic mode: unknown fields resolve to the dynamic field (no error)
     val dyn = """{"mode": "dynamic", "field_mappings": [{"name": "body", "type": "text"}]}"""
     assert(cfg(dyn, Seq("nope")).defaultSearchFields == Seq("nope"))
+    // the bare ROOT of a json field 400s EVEN IN DYNAMIC MODE — it is
+    // mapped, so it can never be a dynamic field, and a json root is not
+    // a value (default_search_fields scenario 0002 failing2)
+    val withJson = """{"mode": "dynamic", "field_mappings": [{"name": "inner_json", "type": "json"}]}"""
+    assert(err(withJson, Seq("inner_json")) == "Unknown default search field: `inner_json`")
+    // …but a PATH INSIDE it resolves through the json prefix
+    assert(cfg(withJson, Seq("inner_json.somefieldinjson")).defaultSearchFields
+      == Seq("inner_json.somefieldinjson"))
   }
 
   // ---- end-to-end: config drives parse + route ----------------------------
