@@ -45,7 +45,13 @@ object MappingConfig {
       .asInstanceOf[Seq[Any]]
       .map(e => entry(e.asInstanceOf[Map[String, Any]]))
     DocMapping(mappings, mode,
-      storeSource = root.getOrElse("store_source", false).asInstanceOf[Boolean])
+      storeSource = root.getOrElse("store_source", false).asInstanceOf[Boolean],
+      // dynamic_mapping.indexed: false ⇒ captured fields stored but not
+      // searchable (default_search_fields scenario 0002 failing3)
+      dynamicIndexed = root.get("dynamic_mapping")
+        .map(_.asInstanceOf[Map[String, Any]]
+          .getOrElse("indexed", true).asInstanceOf[Boolean])
+        .getOrElse(true))
   }
 
   private def entry(o: Map[String, Any]): Mapping = {
@@ -275,39 +281,15 @@ object MappingConfig {
         fail(s"unknown tokenizer `${effectiveTokenizer(l)}` for field `$name`")
     }
 
-    // -- default search fields (builder :213-229): duplicates, unknown
-    //    (dynamic mode resolves unknowns to the dynamic field), unindexed --
+    // -- default search fields (builder :213-229): duplicates, then the
+    //    SINGLE resolution walk shared with search-time binding
+    //    (MappingTree.resolveSearchField — config acceptance and runtime
+    //    resolution can never disagree) --
     val seenSearch = scala.collection.mutable.Set.empty[String]
-    // tantivy `find_field_with_default` semantics (default_mapper.rs:219-229):
-    // an exact leaf wins; otherwise the LONGEST field prefix that resolves
-    // to a `json` leaf captures the remainder as a json path (how the OTEL
-    // configs' `body.message` resolves to the `body` json field).
-    def prefixJsonLeaf(path: String): Option[MappingTree.Leaf] = {
-      val segs = splitPath(path)
-      (segs.length - 1 to 1 by -1).view.flatMap { n =>
-        leafOf(MappingTree.fieldName(segs.take(n)))
-          .filter(_.typ == MappingTree.TJson)
-      }.headOption
-    }
     defaultSearchFields.foreach { f =>
       if (!seenSearch.add(f)) fail(s"duplicated default search field: `$f`")
-      leafOf(f) match {
-        case Some(l) if l.typ == MappingTree.TJson =>
-          // the bare ROOT of a json field is not a searchable value — and
-          // being mapped, it can never fall through to the dynamic field
-          // (default_search_fields scenario 0002, failing2 — 400 even in
-          // dynamic mode)
-          fail(s"Unknown default search field: `$f`")
-        case Some(l) =>
-          if (!l.indexed) fail(s"default search field `$f` is not indexed")
-        case None => prefixJsonLeaf(f) match {
-          case Some(l) =>
-            if (!l.indexed) fail(s"default search field `$f` is not indexed")
-          case None =>
-            if (mapping.mode != MappingTree.Dynamic)
-              fail(s"Unknown default search field: `$f`")
-        }
-      }
+      try MappingTree.resolveSearchField(mapping, f)
+      catch { case e: IllegalArgumentException => fail(e.getMessage) }
     }
 
     // -- tag fields (validate_tag) --

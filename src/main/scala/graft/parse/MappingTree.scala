@@ -330,50 +330,62 @@ object MappingTree {
     * frame [[parse]] produces — the doc mapper's search-field binding
     * (rest-api-tests/scenarii/default_search_fields): a path may name a
     * mapped leaf, a path INSIDE a mapped `json` leaf
-    * (`inner_json.somefieldinjson`), or — in Dynamic mode — a field
-    * captured in `dynamic_json`. Validation mirrors the reference's
-    * exact 400 messages: an unmapped path outside Dynamic mode and the
-    * bare ROOT of a `json` leaf are unknown; a dynamic path with
-    * `dynamic_mapping.indexed: false` is not searchable. */
+    * (`inner_json.somefieldinjson`), or — in Dynamic mode — any
+    * otherwise-unmapped path captured in `dynamic_json` (including
+    * unmapped children of mapped Nodes, which [[parse]] captures too).
+    * This is the ONE resolution walk: `MappingConfig.compileIndex`
+    * validates by calling it, so config-time acceptance and search-time
+    * binding can never disagree. Paths split escape-aware
+    * (`server\.status` names one literally-dotted field). Rejections use
+    * the reference's exact 400 messages: the bare ROOT of a `json` leaf
+    * is unknown EVEN in dynamic mode (it is mapped, so it can never be a
+    * dynamic field); unmapped paths outside Dynamic mode are unknown;
+    * unindexed leaves and an unindexed dynamic capture refuse. */
   def resolveSearchField(m: DocMapping, path: String): Column = {
     def unknown(): Nothing =
       throw new IllegalArgumentException(s"Unknown default search field: `$path`")
+    def notIndexed(): Nothing =
+      throw new IllegalArgumentException(s"default search field `$path` is not indexed")
     def quoted(n: String): Column = col("`" + n.replace("`", "``") + "`")
-    def walk(ms: Seq[Mapping], segs: List[String], walked: Seq[String]): Option[Column] =
-      segs match {
-        case head :: rest =>
-          ms.collectFirst {
-            case l: Leaf if l.name == head => l
-            case n: Node if n.name == head => n
-          }.map {
-            case l: Leaf =>
-              val base = quoted(fieldName(walked :+ head)).cast(StringType)
-              (rest, l.typ) match {
-                case (Nil, TJson) => unknown() // json ROOT is not a value
-                case (Nil, _)     => base
-                case (more, TJson) => get_json_object(base, "$." + more.mkString("."))
-                case _ => unknown() // digs into a scalar leaf
-              }
-            case n: Node =>
-              if (rest.isEmpty) unknown() // names an object, not a value
-              else walk(n.children, rest, walked :+ head).getOrElse(unknown())
-          }
-        case Nil => None
+    val segs = MappingConfig.splitPath(path)
+    def leafAt(n: Int): Option[Leaf] =
+      MappingConfig.findMapping(m.fieldMappings, fieldName(segs.take(n))) match {
+        case Some(l: Leaf) => Some(l)
+        case _             => None
       }
-    walk(m.fieldMappings, path.split('.').toList, Nil).getOrElse {
+    def dynamicFallback(): Column =
       if (m.mode != Dynamic) unknown()
-      else if (!m.dynamicIndexed) throw new IllegalArgumentException(
-        s"default search field `$path` is not indexed")
-      else get_json_object(col("dynamic_json"), "$." + path)
+      else if (!m.dynamicIndexed) notIndexed()
+      else get_json_object(col("dynamic_json"), "$." + segs.mkString("."))
+    leafAt(segs.length) match {
+      case Some(l) if l.typ == TJson => unknown() // json ROOT is not a value
+      case Some(l) if !l.indexed     => notIndexed()
+      case Some(_) => quoted(fieldName(segs)).cast(StringType)
+      case None =>
+        // longest mapped prefix that is a `json` leaf captures the rest as
+        // a json path (find_field_with_default, default_mapper.rs:219-229)
+        (segs.length - 1 to 1 by -1).view
+          .flatMap(n => leafAt(n).filter(_.typ == TJson).map(n -> _))
+          .headOption match {
+          case Some((_, l)) if !l.indexed => notIndexed()
+          case Some((n, _)) =>
+            get_json_object(quoted(fieldName(segs.take(n))).cast(StringType),
+              "$." + segs.drop(n).mkString("."))
+          case None => dynamicFallback()
+        }
     }
   }
 
   /** Default-field full-text match over a parsed frame: every query token
     * must match in at least one of the resolved default fields (the query
-    * language's AND-across-tokens, OR-across-default-fields shape). */
+    * language's AND-across-tokens, OR-across-default-fields shape). The
+    * query is tokenized EXACTLY like the field values (same
+    * non-alphanumeric split + locale-independent lowercase) — a
+    * whitespace-only split would make `hello-world` unmatchable. */
   def defaultFieldsMatch(m: DocMapping, fields: Seq[String], query: String): Column = {
     val resolved = fields.map(f => graft.functions.Tokenizers.default(resolveSearchField(m, f)))
-    val toks = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val toks = query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, "empty query")
     toks.map(t => resolved.map(r => array_contains(r, t)).reduce(_ || _)).reduce(_ && _)
   }

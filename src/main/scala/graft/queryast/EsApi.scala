@@ -119,8 +119,12 @@ object EsApi {
     def sortCol(f: String): Column = if (f == "_score") lit(1.0d) else col(f)
 
     // ES total counts ALL matches, cursor-independent; the scroll context
-    // fixes it at open time and passes it back per continuation
-    val total = totalOverride.getOrElse(filtered.count())
+    // fixes it at open time and passes it back per continuation. The whole
+    // POINT of track_total_hits:false is skipping this count job — don't
+    // run it just to discard the result.
+    val wantTotal = m.get("track_total_hits") != Some(false)
+    val total =
+      if (wantTotal) totalOverride.getOrElse(filtered.count()) else -1L
     // A cursor value echoed from hits[].sort must be re-typed by the SORT
     // COLUMN's type: date sort values travel as epoch millis on the wire
     // (svJson), so a numeric cursor against a timestamp column is millis,

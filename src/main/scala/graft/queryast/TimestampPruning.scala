@@ -44,6 +44,12 @@ object TimestampPruning {
 
   private val SecondsBound = graft.parse.DateTimeParse.SecondsBound
 
+  // STRICT resolution: ofPattern defaults to SMART, which silently clamps
+  // 2023/02/31 to Feb 28 where the reference's strptime rejects it; uuuu
+  // (not yyyy) is the proleptic year STRICT requires
+  private val SlashDate = java.time.format.DateTimeFormatter.ofPattern("uuuu/MM/dd")
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+
   /** Interpret a bound literal as epoch micros — the
     * `DateTime::interpret_json` attempt chain (quickwit-query
     * InterpretUserInput for DateTime): integers get unit inference by
@@ -102,8 +108,7 @@ object TimestampPruning {
         .orElse(attempt(java.time.LocalDateTime.parse(t.replace(' ', 'T')))(ofLocal))
         .orElse(attempt(java.time.LocalDate.parse(t))(d =>
           d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
-        .orElse(attempt(java.time.LocalDate.parse(t,
-          java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd")))(d =>
+        .orElse(attempt(java.time.LocalDate.parse(t, SlashDate))(d =>
           d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
   }
 

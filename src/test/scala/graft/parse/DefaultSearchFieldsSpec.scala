@@ -59,6 +59,30 @@ class DefaultSearchFieldsSpec extends SparkTestBase {
     assert(e3.getMessage === "default search field `some_field` is not indexed")
   }
 
+  test("one walk for config AND runtime: node fallbacks, escaped dots, indexed") {
+    // an unmapped child of a mapped Node falls through to the dynamic
+    // capture at RUNTIME exactly as config validation allows it
+    import spark.implicits._
+    val m = DocMapping(Seq(
+      Node("obj", Seq(Leaf("a", TText))),
+      Leaf("server.status", TText), // literally-dotted name
+      Leaf("hidden", TText, indexed = false)), mode = Dynamic)
+    val docs = Seq("""{"obj": {"a": "mapped", "x": "hello"}, "server.status": "up"}""")
+      .toDF("raw")
+    val p = MappingTree.parse(docs, col("raw"), m)
+    assert(p.filter(defaultFieldsMatch(m, Seq("obj.x"), "hello")).count() === 1L)
+    // escape-aware split: `server\.status` binds the literally-dotted leaf
+    assert(p.filter(defaultFieldsMatch(m, Seq("server\\.status"), "up")).count() === 1L)
+    // mapped-but-unindexed leaves refuse at the runtime walk too
+    val e = intercept[IllegalArgumentException](resolveSearchField(m, "hidden"))
+    assert(e.getMessage === "default search field `hidden` is not indexed")
+    // punctuated queries tokenize like the field values
+    val m2 = DocMapping(Seq(Leaf("t", TText)))
+    val p2 = Seq("""{"t": "hello-world"}""").toDF("raw")
+    assert(MappingTree.parse(p2, col("raw"), m2)
+      .filter(defaultFieldsMatch(m2, Seq("t"), "hello-world")).count() === 1L)
+  }
+
   test("multi-token queries AND across tokens, OR across fields") {
     import spark.implicits._
     val docs = Seq(
