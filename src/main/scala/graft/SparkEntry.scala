@@ -1017,6 +1017,31 @@ object SparkEntry {
       Seq(n).toDF("count")
     }),
 
+    // ES `_search` sorted by `_score`: REAL BM25 over the query's positive
+    // terms (collector.rs:106-112 SortBy::Score — ES relevance order, not
+    // the constant_score stand-in; filter clauses don't score). The hits
+    // page parses back OUT of the rendered envelope, so the oracle pins the
+    // whole wire path: score math, sort values, hit order, _id rendering.
+    "es_search_score" -> ((s, d) => {
+      import s.implicits._
+      val body =
+        """{"query": {"bool": {
+          |  "must": [{"match": {"text": {"query": "spark vector", "operator": "or"}}}],
+          |  "filter": [{"term": {"lang": "en"}}]}},
+          | "sort": [{"_score": "desc"}, {"doc_id": "asc"}], "size": 10}""".stripMargin
+      val rendered = graft.queryast.EsApi.search(
+        t(s, d, "documents"), docResolver, col("doc_id"), body)
+      val parsed = graft.util.Json.parse(rendered).asInstanceOf[Map[String, Any]]
+      val hits = parsed("hits").asInstanceOf[Map[String, Any]]("hits")
+        .asInstanceOf[Seq[Any]]
+      hits.map { h =>
+        val m = h.asInstanceOf[Map[String, Any]]
+        (m("_id").asInstanceOf[Double].toLong,
+          m("sort").asInstanceOf[Seq[Any]].head.asInstanceOf[Double])
+      }.toDF("doc_id", "score")
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // one msearch batch = ONE shared-scan aggregate for all sub-queries
     "es_msearch" -> ((s, d) =>
       graft.queryast.EsApi.msearch(t(s, d, "documents"), docResolver, col("doc_id"),
@@ -1266,6 +1291,98 @@ object SparkEntry {
             r.timeUnixNano / 1000L, r.severityNumber)
         }
       }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts_us", "sev_num")
+    }),
+
+    // ---- OTLP TRACE protobuf arm (doc_processor.rs:135,154-161 →
+    // parse_otlp_spans_protobuf; traces.rs:240-330 Span::from_otlp) -------
+    // Round-trip oracle over the SAME span frame the jg_* queries consume:
+    // spans are batched one ExportTraceServiceRequest per trace with one
+    // ResourceSpans per service (resource carries service.name + env, the
+    // shape OTLP trace exporters ship), ids as 16/8 raw bytes, events /
+    // links / status / parent / trace_state all on the wire; the decode
+    // explodes requests back to span rows that DuckDB recomputes straight
+    // from events — any wire bug (fixed64 nanos, varint kind, nested
+    // event/link/status messages, id length) breaks the hash.
+    "p_otlp_trace_proto" -> ((s, d) => {
+      import s.implicits._
+      import graft.parse.OtlpProto
+      def longBytes(v: Long): Array[Byte] =
+        java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      val sp = spans(s, d).select(
+        col("trace_id"), col("span_id"), col("service_name"), col("span_name"),
+        col("span_kind"), unix_micros(col("ts").cast("timestamp_ltz")).as("ts_us"),
+        col("duration_millis"), col("status_code"),
+        col("resource_attributes")(lit("env")).as("env_attr"),
+        col("span_attributes")(lit("k")).as("k_attr"))
+      val payloads = sp
+        .as[(String, Long, String, String, Int, Long, Long, String, String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (trace, it) =>
+          val rows = it.toSeq.sortBy(_._2)
+          val tid = java.util.Arrays.copyOf(trace.getBytes("UTF-8"), 16)
+          val perService = rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (svc, ss) =>
+            val spansSeq = ss.map { case (_, sid, _, name, kind, tsUs, dur, status, _, k) =>
+              val start = tsUs * 1000L
+              OtlpProto.Span(
+                traceId = tid, spanId = longBytes(sid),
+                parentSpanId = if (sid % 2 == 0) Some(longBytes(sid / 2)) else None,
+                traceState = if (sid % 3 == 0) Some("st=1") else None,
+                name = name, kind = kind,
+                startUnixNano = start, endUnixNano = start + dur * 1000000L,
+                attributes = Seq("k" -> k),
+                events = (0L until sid % 3).map(i =>
+                  OtlpProto.SpanEvent(start + i + 1, s"ev$i", Seq("i" -> i.toString))),
+                links = if (sid % 5 == 0)
+                  Seq(OtlpProto.SpanLink(tid, longBytes(sid + 1))) else Nil,
+                statusCode = if (status == "error") 2 else 1,
+                statusMessage = if (status == "error") "span failed" else "")
+            }
+            OtlpProto.encodeTrace(OtlpProto.TraceRequest(
+              Seq("service.name" -> svc, "env" -> ss.head._9), spansSeq))
+          }
+          OtlpProto.concatTraceRequests(perService)
+        }
+      payloads.flatMap { bytes =>
+        OtlpProto.decodeTrace(bytes).flatMap { req =>
+          val res = req.resourceAttributes.toMap
+          req.spans.map { p =>
+            val trace = new String(p.traceId.takeWhile(_ != 0), "UTF-8")
+            (trace, java.nio.ByteBuffer.wrap(p.spanId).getLong,
+              res("service.name"), p.name, p.kind,
+              p.startUnixNano / 1000L,
+              (p.endUnixNano - p.startUnixNano) / 1000000L,
+              if (p.statusCode == 2) "error" else "ok",
+              res("env"), p.attributes.toMap.apply("k"),
+              p.events.size, p.links.size,
+              p.parentSpanId.map(b => java.nio.ByteBuffer.wrap(b).getLong),
+              p.traceState)
+          }
+        }
+      }.toDF("trace_id", "span_id", "service_name", "span_name", "span_kind",
+        "ts_us", "duration_millis", "status_code", "env_attr", "k_attr",
+        "n_events", "n_links", "parent_id", "trace_state")
+    }),
+
+    // Wire bytes → Jaeger surface end-to-end: the SAME find_trace_ids
+    // query as jg_find_trace_ids, but over the frame decoded from
+    // ExportTraceServiceRequest protobuf — same oracle rows, proving the
+    // protobuf arm feeds the SpanReader unchanged.
+    "jg_from_wire" -> ((s, d) => {
+      val decoded = queries("p_otlp_trace_proto")(s, d).select(
+        col("trace_id"), col("span_id"), col("service_name"), col("span_name"),
+        col("span_kind"), timestamp_micros(col("ts_us")).as("ts"),
+        col("duration_millis"), col("status_code"),
+        map(lit("env"), col("env_attr")).as("resource_attributes"),
+        map(lit("k"), col("k_attr")).as("span_attributes"))
+      Jaeger.findTraceIds(decoded, Jaeger.TraceQuery(
+          serviceName = "svc_error",
+          tags = Map("error" -> "true", "env" -> "prod"),
+          minStartSecs = Some(1704844800L),
+          maxStartSecs = Some(1706313600L),
+          minDurationMillis = Some(100L), maxDurationMillis = Some(900L),
+          numTraces = 10))
+        .select(col("trace_id"),
+          unix_micros(col("span_ts").cast("timestamp_ltz")).as("span_ts_us"))
     }),
 
     // ---- tag-pruned scan (tag_pruning.rs:40-160 at root.rs:1041) ---------
@@ -2363,6 +2480,24 @@ object SparkEntry {
         |  epoch_us(ts) AS ts_us, CAST(turn_idx % 24 + 1 AS INT) AS sev_num
         |FROM transcripts""".stripMargin),
 
+    "p_otlp_trace_proto" -> (SpansCte +
+      """SELECT trace_id, span_id, service_name, span_name, span_kind,
+        |  epoch_us(ts) AS ts_us, duration_millis, status_code, env_attr, k_attr,
+        |  CAST(span_id % 3 AS INT) AS n_events,
+        |  CAST(CASE WHEN span_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_links,
+        |  CASE WHEN span_id % 2 = 0 THEN span_id // 2 END AS parent_id,
+        |  CASE WHEN span_id % 3 = 0 THEN 'st=1' END AS trace_state
+        |FROM spans""".stripMargin),
+
+    "jg_from_wire" -> (SpansCte +
+      """SELECT trace_id, epoch_us(max(ts)) AS span_ts_us FROM spans
+        |WHERE service_name = 'svc_error' AND status_code = 'error'
+        |  AND env_attr = 'prod'
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-27'
+        |  AND duration_millis BETWEEN 100 AND 900
+        |GROUP BY trace_id
+        |ORDER BY span_ts_us DESC, trace_id ASC LIMIT 10""".stripMargin),
+
     "p_doc_to_json" ->
       """SELECT doc_id,
         |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS VARCHAR) AS doc_json
@@ -2606,6 +2741,27 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON doc_id1 = s1.doc_id JOIN sizes s2 ON doc_id2 = s2.doc_id
         |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+
+    "es_search_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |       WHERE term IN ('spark', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id,
+        |        ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |          * (tf.tf * (1.2 + 1.0))
+        |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |score AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, round(s.score, 4) AS score
+        |FROM documents d JOIN score s USING (doc_id)
+        |WHERE d.lang = 'en'
+        |ORDER BY s.score DESC, d.doc_id ASC LIMIT 10""".stripMargin,
 
     "k_topk_score" ->
       """WITH tk AS (

@@ -384,9 +384,16 @@ object MappingTree {
     * whitespace-only split would make `hello-world` unmatchable. */
   def defaultFieldsMatch(m: DocMapping, fields: Seq[String], query: String): Column = {
     val resolved = fields.map(f => graft.functions.Tokenizers.default(resolveSearchField(m, f)))
+    // tokens longer than MaxTokenLen are REMOVED on the query side too —
+    // the field-side default tokenizer drops them (RemoveLongFilter), so
+    // keeping them would make the clause unmatchable instead of absent
     val toks = query.toLowerCase(java.util.Locale.ROOT)
-      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
-    require(toks.nonEmpty, "empty query")
-    toks.map(t => resolved.map(r => array_contains(r, t)).reduce(_ || _)).reduce(_ && _)
+      .split("[^\\p{L}\\p{N}]+")
+      .filter(t => t.nonEmpty && t.length <= graft.functions.Tokenizers.MaxTokenLen)
+      .toSeq
+    // a query that tokenizes to nothing (punctuation-only) matches nothing —
+    // user input must never crash the caller
+    if (toks.isEmpty) lit(false)
+    else toks.map(t => resolved.map(r => array_contains(r, t)).reduce(_ || _)).reduce(_ && _)
   }
 }

@@ -98,12 +98,15 @@ object EsApi {
                  includeAggs: Boolean,
                  totalOverride: Option[Long] = None): Page = {
     val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
-    val filtered = m.get("query").map { q =>
-      df.filter(EsDsl.fromParsed(q, resolver.defaultFields).toColumn(resolver))
-    }.getOrElse(df)
+    val astOpt = m.get("query").map(q => EsDsl.fromParsed(q, resolver.defaultFields))
+    val filtered = astOpt.map(a => df.filter(a.toColumn(resolver))).getOrElse(df)
     val size = m.get("size").map(_.asInstanceOf[Double].toInt).getOrElse(10)
-    // a cursor resume and an offset are mutually exclusive (ES rejects
-    // from+search_after together); scroll continuations force from = 0
+    // a cursor resume and an offset are mutually exclusive — ES rejects a
+    // body carrying both with a 400; scroll continuations force from = 0
+    if (cursorOverride.isEmpty)
+      require(m.get("from").forall(_.asInstanceOf[Double] == 0d) ||
+          m.get("search_after").isEmpty,
+        "`from` parameter must be set to 0 when `search_after` is used")
     val from =
       if (cursorOverride.isDefined) 0
       else m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
@@ -111,12 +114,33 @@ object EsApi {
     val sortSpec = bodySort ++
       extraSort.filterNot { case (f, _) => bodySort.exists(_._1 == f) }
 
-    // `_score` is not a column: on this filter-only engine every match has
-    // the ES constant_score of 1.0 (the reference's sort-by-score path runs
-    // BM25; Scoring.bm25 exists for the query-language API — the ES envelope
-    // mirrors ES's behavior for non-scoring contexts instead of dying on an
-    // unresolved column).
-    def sortCol(f: String): Column = if (f == "_score") lit(1.0d) else col(f)
+    // `_score` compiles to REAL BM25 over the query's positive text terms
+    // (collector.rs:106-112 SortBy::Score — the reference scores relevance
+    // sorts with tantivy's BM25 on every `_search`). Corpus statistics
+    // (df, avgdl, N) come from the WHOLE index frame, not the filtered
+    // subset, matching tantivy's segment-level stats; docs matching only
+    // filter clauses score 0.0; a term-free query (match_all / pure
+    // structural predicates) keeps the ES constant_score of 1.0.
+    val needsScore = sortSpec.exists(_._1 == "_score")
+    val scoreTerms =
+      if (needsScore) astOpt.map(QueryAst.scoringTerms).getOrElse(Nil).distinct else Nil
+    val ScoreCol = "_bm25_score"
+    val pageBase =
+      if (scoreTerms.isEmpty) filtered
+      else {
+        val perField = scoreTerms.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ts) =>
+          graft.operators.Scoring.bm25(df, id, col(f), ts.map(_._2))
+        }
+        val scores = perField.reduce(_ union _)
+          .groupBy("doc_id").agg(sum("score").as(ScoreCol))
+          .withColumnRenamed("doc_id", "_score_join_id")
+        filtered.join(scores, id === col("_score_join_id"), "left")
+          .drop("_score_join_id")
+          .withColumn(ScoreCol, coalesce(col(ScoreCol), lit(0.0d)))
+      }
+    def sortCol(f: String): Column =
+      if (f == "_score") { if (scoreTerms.nonEmpty) col(ScoreCol) else lit(1.0d) }
+      else col(f)
 
     // ES total counts ALL matches, cursor-independent; the scroll context
     // fixes it at open time and passes it back per continuation. The whole
@@ -161,8 +185,8 @@ object EsApi {
           strictlyAfter(cs(i)._1, cs(i)._2, cs(i)._3, vals(i)))
           .reduce(_ && _)
       }.reduce(_ || _)
-      filtered.filter(pred)
-    }.getOrElse(filtered)
+      pageBase.filter(pred)
+    }.getOrElse(pageBase)
     var lastSv: Option[Seq[Any]] = None // native, full-precision cursor
     val hitsJson: Seq[String] =
       if (size == 0) Nil

@@ -221,6 +221,24 @@ object QueryAst {
   private[queryast] def tokenizeQuery(text: String): Seq[String] =
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(t => t.nonEmpty && t.length <= 255)
 
+  /** The (field, term) pairs that contribute to BM25 relevance — the
+    * POSITIVE text clauses of the query. `filter` and `must_not` clauses
+    * never score (ES filter context; Bool's own doc calls filter
+    * "non-scoring must", bool_query.rs), and structural predicates (range /
+    * exists / wildcard) carry no postings terms. Feeds the `_score` sort in
+    * the ES `_search` envelope (collector.rs:106-112 SortBy::Score →
+    * tantivy BM25 over exactly these terms). */
+  def scoringTerms(q: QueryAst): Seq[(String, String)] = q match {
+    case Bool(must, _, should, _)   => (must ++ should).flatMap(scoringTerms)
+    case Term(f, v)                 => tokenizeQuery(v).map(f -> _)
+    case TermSet(f, vs)             => vs.flatMap(tokenizeQuery).map(f -> _)
+    case FullText(f, text, _)       => tokenizeQuery(text).map(f -> _)
+    case BoolPrefix(f, text, _)     => tokenizeQuery(text).map(f -> _)
+    case PhrasePrefix(f, text)      => tokenizeQuery(text).map(f -> _)
+    case Boost(inner, _)            => scoringTerms(inner)
+    case _                          => Nil
+  }
+
   /** The field value as a single normalized space-delimited token stream,
     * padded with sentinels — phrase matching substrate. */
   private[queryast] def normalizedStream(c: Column): Column =

@@ -98,4 +98,25 @@ class DefaultSearchFieldsSpec extends SparkTestBase {
     // across fields, AND across tokens); doc 3: "world" missing anywhere
     assert(got === Set(1L, 2L))
   }
+
+  test("user-supplied queries never crash: punctuation-only matches nothing, overlong tokens drop") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"id": 1, "regular_field": "hello world"}""").toDF("raw")
+    val m = DocMapping(Seq(Leaf("id", TU64), Leaf("regular_field", TText)),
+      mode = Dynamic)
+    val p = MappingTree.parse(docs, col("raw"), m)
+    def n(q: String): Long =
+      p.filter(defaultFieldsMatch(m, Seq("regular_field"), q)).count()
+    // punctuation-only input tokenizes to nothing → matches NOTHING (it
+    // must not throw: the query string is user input)
+    assert(n("!!! ... ???") === 0L)
+    assert(n("") === 0L)
+    // a >255-char token is dropped by the field-side default tokenizer, so
+    // the query side drops it too — the remaining token still matches
+    // (keeping it would make the clause unmatchable instead of absent)
+    val long = "x" * 300
+    assert(n(s"hello $long") === 1L)
+    assert(n(long) === 0L) // ONLY an overlong token → empty set → no match
+  }
 }

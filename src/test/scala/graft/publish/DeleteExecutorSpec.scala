@@ -80,4 +80,34 @@ class DeleteExecutorSpec extends SparkTestBase {
     assert(g1.marked.toSet === dead)
     assert(roles(table) === byRole - "assistant" - "tool") // table unaffected
   }
+
+  test("each stale split is scanned ONCE (filesystem byte count)") {
+    import spark.implicits._
+    val dir = tmpDir("delete-scan")
+    // big enough that parquet footer/metadata re-reads are noise next to
+    // the data pages (the 3-split fixture is ~11 KB — all footers)
+    val table = new TranscriptTable(dir, spark)
+    val df = TranscriptGen.turns(numConvs = 3000, avgTurns = 6).toDS().toDF()
+    table.append(df.filter(col("role") === "tool"), delta(-1, 1), numFiles = 1)
+    table.append(df.filter(col("role") === "user"), delta(1, 2), numFiles = 1)
+    table.append(df.filter(col("role").isin("assistant", "system")), delta(2, 3), numFiles = 1)
+    def fsBytesRead(): Long =
+      org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
+    val dataBytes = table.store.currentSnapshot().get.splits
+      .flatMap(_.files).map(f => new java.io.File(f.replaceFirst("^file:", "")).length()).sum
+    // the common case at scale: a query matching NOTHING in any split —
+    // every split takes the bump arm. Deriving matches from
+    // numDocs − kept.count() must read each split's files about once;
+    // the old doomed-count + kept-persist pair read everything twice.
+    val b0 = fsBytesRead()
+    val res = DeleteExecutor.run(dir, spark,
+      Seq(DeleteExecutor.DeleteTask(5L, QueryAst.Term("role", "no_such_role"))),
+      concurrency = 1)
+    val read = fsBytesRead() - b0
+    assert(res.bumped.size === 3 && res.rewritten.isEmpty)
+    // allowance for parquet footers/metadata re-reads; 2 full scans would
+    // be ≥ 2.0× the data size
+    assert(read < (dataBytes * 1.5).toLong,
+      s"read $read bytes for $dataBytes bytes of split data — scanned twice?")
+  }
 }

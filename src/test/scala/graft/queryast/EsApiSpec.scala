@@ -154,17 +154,65 @@ class EsApiSpec extends SparkTestBase {
     }
   }
 
-  test("_search: sort by _score is the ES constant-score 1.0, not an unresolved column") {
-    import graft.util.Json
-    val got = Json.parse(EsApi.search(docs, resolver, col("doc_id"),
-      """{"size": 2, "query": {"term": {"lang": "en"}}, "sort": ["_score"]}"""))
-      .asInstanceOf[Map[String, Any]]
-    val hs = got("hits").asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Seq[Any]]
-      .map(_.asInstanceOf[Map[String, Any]])
-    // all matches tie at score 1.0; _score default direction is DESC, so the
-    // implicit doc-addr tiebreaker follows it (EsSort contract) → ids desc
-    assert(hs.map(_("_id")) === Seq(2.0, 1.0))
-    assert(hs.map(_("sort")) === Seq(Seq(1.0), Seq(1.0)))
+  private def scoreHits(df: org.apache.spark.sql.DataFrame, body: String): Seq[Map[String, Any]] =
+    graft.util.Json.parse(EsApi.search(df, resolver, col("doc_id"), body))
+      .asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Map[String, Any]]("hits")
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+
+  test("_search: sort by _score is REAL BM25 — order differs from constant-score") {
+    import spark.implicits._
+    // doc 1 matches both query terms, doc 3 one term in a SHORT field,
+    // doc 2 one term diluted by length: BM25 order (1, 3, 2) — while the
+    // old constant-score 1.0 stand-in ordered by the doc-addr tiebreak
+    // (3, 2, 1) and a naive tf order would tie 2 and 3
+    val corpus = Seq(
+      (1L, "spark vector", "en"),
+      (2L, "spark is one term here diluted by many other words", "en"),
+      (3L, "spark hit", "en"),
+      (4L, "nothing relevant", "de")
+    ).toDF("doc_id", "text", "lang")
+    val hs = scoreHits(corpus,
+      """{"query": {"match": {"text": {"query": "spark vector", "operator": "or"}}},
+        | "sort": ["_score"], "size": 4}""".stripMargin)
+    assert(hs.map(_("_id")) === Seq(1.0, 3.0, 2.0))
+    val scores = hs.map(_("sort").asInstanceOf[Seq[Any]].head.asInstanceOf[Double])
+    assert(scores === scores.sorted.reverse)
+    assert(scores.distinct.size === 3, "scores must be real BM25, not a constant")
+    assert(scores.forall(s => s != 1.0d))
+  }
+
+  test("_search: filter clauses don't score; term-free queries keep constant 1.0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark vector", "en"),
+      (2L, "spark", "en"),
+      (3L, "spark", "de")
+    ).toDF("doc_id", "text", "lang")
+    // the filter clause restricts to lang=en but contributes NO terms:
+    // scores come from the must clause alone (ES filter context)
+    val hs = scoreHits(corpus,
+      """{"query": {"bool": {
+        |  "must": [{"match": {"text": "spark vector"}}],
+        |  "filter": [{"term": {"lang": "en"}}]}},
+        | "sort": ["_score"], "size": 4}""".stripMargin)
+    // doc 3 matches the must clause but fails the filter: absent, and its
+    // absence does not perturb the remaining docs' corpus-level statistics
+    assert(hs.map(_("_id")) === Seq(1.0, 2.0))
+    // match_all has no scoring terms → ES constant_score 1.0
+    val all = scoreHits(corpus, """{"sort": ["_score"], "size": 3}""")
+    assert(all.map(_("sort")) === Seq(Seq(1.0), Seq(1.0), Seq(1.0)))
+    assert(all.map(_("_id")) === Seq(3.0, 2.0, 1.0)) // desc doc-addr tiebreak
+  }
+
+  test("_search: body with both from and search_after is rejected (ES 400)") {
+    val e = intercept[IllegalArgumentException] {
+      EsApi.search(docs, resolver, col("doc_id"),
+        """{"size": 1, "from": 5, "sort": [{"doc_id": "asc"}], "search_after": [1]}""")
+    }
+    assert(e.getMessage.contains("`from` parameter must be set to 0 when `search_after` is used"))
+    // an explicit from: 0 is the one combination ES allows
+    EsApi.search(docs, resolver, col("doc_id"),
+      """{"size": 1, "from": 0, "sort": [{"doc_id": "asc"}], "search_after": [1]}""")
   }
 
   test("_search: sort values keep native types — numeric-LOOKING keywords stay strings") {
