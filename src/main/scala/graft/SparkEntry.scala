@@ -1248,6 +1248,43 @@ object SparkEntry {
         .select("doc_id", "n_bytes", "n_frames")
     }),
 
+    // ---- REAL image decode (javax.imageio): deterministic PNGs are
+    // encoded AND decoded through the actual codec per partition; the
+    // oracle recomputes the pixel formula's channel means in SQL — any
+    // codec/stat bug breaks the hash. Slice bounds the per-row codec cost
+    // at bench scale (same rationale as s_tag_pruned_scan's slice).
+    "m_image_decode" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+          val st = Multimodal.decodeImageStats(Multimodal.synthPng(id, w, h))
+          (id, st.width, st.height, st.channels, st.meanR, st.meanG, st.meanB)
+        })
+        .toDF("doc_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b")
+        .withColumn("mean_r", round(col("mean_r"), 4))
+        .withColumn("mean_g", round(col("mean_g"), 4))
+        .withColumn("mean_b", round(col("mean_b"), 4))
+    }),
+
+    // ---- REAL audio decode (javax.sound.sampled): 16-bit PCM WAVs
+    // round-trip the JDK codec; the oracle recomputes the sample formula.
+    "m_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 1)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (200 + id % 100).toInt
+          val st = Multimodal.decodeWavStats(Multimodal.synthWav(id, n))
+          (id, st.sampleRateHz, st.channels, st.numFrames, st.meanAbs)
+        })
+        .toDF("doc_id", "sample_rate", "channels", "n_frames", "mean_abs")
+        .withColumn("mean_abs", round(col("mean_abs"), 4))
+    }),
+
     // ---- input formats: 1→N doc expansion (S6, the OTLP-spans shape) -----
     "p_input_expand" -> ((s, d) =>
       t(s, d, "events")
@@ -1486,6 +1523,44 @@ object SparkEntry {
       }.toDF("position", "conv_id", "turn_idx", "truncate_ok")
     }),
 
+    // ---- ingest v2 REPLICATED data plane (ingest_v2/replication.rs) ------
+    // Leader persists per-role shard batches with replication-factor-2
+    // acks (ack only after the follower confirmed), then the leader DIES:
+    // the promoted follower must serve every acked doc — the oracle
+    // recomputes counts + content length straight from transcripts, so a
+    // lost or duplicated batch breaks the hash. Positions are checked
+    // contiguous on both nodes.
+    "s_ingest_replicated" -> ((s, d) => {
+      import s.implicits._
+      def wal() = new graft.sources.IngestQueue(
+        java.nio.file.Files.createTempDirectory("graft-repl").toString)
+      val follower = new graft.sources.Replication.Follower(wal(), "node-1", "node-2")
+      val leader = new graft.sources.Replication.Leader(wal(), "node-1", follower)
+      val docs = transcripts(s, d)
+        .filter(col("role").isin("user", "system") && col("turn_idx") < 3 &&
+          col("text").isNotNull)
+        .select("role", "conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx").collect()
+      val byShard = docs.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      byShard.foreach { case (role, _) => leader.openShard(s"shard-$role") }
+      byShard.foreach { case (role, rows) =>
+        rows.grouped(500).foreach { batch =>
+          leader.persist(s"shard-$role", batch.map(_.getString(3)).toSeq)
+        }
+      }
+      // failover: the follower promotes over its own WAL; acked == served
+      val promoted = follower.promote(
+        new graft.sources.Replication.Follower(wal(), "node-2", "node-3"))
+      byShard.map { case (role, _) =>
+        val qid = s"shard-$role"
+        val fetched = promoted.wal.fetch(qid, -1L, Int.MaxValue)
+        val contiguous = fetched.map(_._1) == fetched.indices.map(_.toLong)
+        (role, fetched.size.toLong, fetched.map(_._2.length.toLong).sum,
+          leader.ackedPosition(qid), promoted.ackedPosition(qid), contiguous)
+      }.toDF("role", "n_docs", "total_chars", "leader_pos", "follower_pos", "contiguous")
+        .orderBy("role")
+    }),
+
     // ---- scroll (K6, scroll_context.rs:48-150) ---------------------------
     // A TTL-cached scroll context pages through the sorted result with a
     // DELIBERATELY tiny window (batchLen 7 < pageSize·pages) so the
@@ -1574,6 +1649,69 @@ object SparkEntry {
     // quickwit-cli/src/index.rs:539-875): totals, timestamp range, and the
     // per-split doc/byte distribution stats over a per-conversation split
     // metastore.
+    // ---- index-management CRUD arc (index.rs:100-331) --------------------
+    // create (validated config) → ingest → clear (splits+files gone,
+    // config+index survive, checkpoint RESET so the same delta re-applies)
+    // → re-ingest → delete (directory gone). Each transition emits one
+    // oracle-visible row; file counts are PHYSICAL (walked on disk), so a
+    // leaked split file breaks the hash.
+    "m_index_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-idxsvc").toString
+      val svc = new graft.publish.IndexService(root, s)
+      val id = "transcripts-main"
+      svc.createIndex(
+        s"""{"index_id": "$id",
+           | "doc_mapping": {
+           |   "mode": "dynamic",
+           |   "timestamp_field": "ts",
+           |   "field_mappings": [
+           |     {"name": "conv_id", "type": "text", "tokenizer": "raw"},
+           |     {"name": "turn_idx", "type": "i64"},
+           |     {"name": "role", "type": "text", "tokenizer": "raw"},
+           |     {"name": "text", "type": "text"},
+           |     {"name": "ts", "type": "datetime", "fast": true}]},
+           | "search_settings": {"default_search_fields": ["text"]},
+           | "retention": {"period": "30 days", "schedule": "daily"},
+           | "indexing_settings": {"merge_policy": {"merge_factor": 10, "max_merge_factor": 12}}}""".stripMargin)
+      def delta(from: Long, to: Long) =
+        graft.publish.Checkpoint.Delta(Seq(graft.publish.Checkpoint.PartitionDelta("src", from, to)))
+      def physicalFiles(): Long = {
+        val dir = java.nio.file.Paths.get(svc.indexDir(id))
+        if (!java.nio.file.Files.isDirectory(dir)) 0L
+        else {
+          def walk(p: java.nio.file.Path): Long =
+            if (java.nio.file.Files.isDirectory(p)) graft.util.Fs.list(p).map(walk).sum
+            else if (p.toString.endsWith(".parquet")) 1L else 0L
+          walk(dir)
+        }
+      }
+      def row(stage: String): (String, Boolean, Int, Long, Long) = {
+        val splits = new graft.publish.Manifest.Store(svc.indexDir(id))
+          .currentSnapshot().map(_.splits).getOrElse(Nil)
+        (stage, svc.exists(id), splits.size, splits.map(_.numDocs).sum, physicalFiles())
+      }
+      val tr = transcripts(s, d)
+      val rows = Seq.newBuilder[(String, Boolean, Int, Long, Long)]
+      rows += row("c1_create")
+      val table = svc.table(id)
+      table.append(tr.filter(col("role") === "user" && col("turn_idx") < 5),
+        delta(-1, 1), numFiles = 1)
+      table.append(tr.filter(col("role") === "user" && col("turn_idx") >= 5 && col("turn_idx") < 10),
+        delta(1, 2), numFiles = 2)
+      rows += row("c2_ingest")
+      svc.clearIndex(id)
+      rows += row("c3_clear")
+      // the checkpoint was reset (index.rs:318-327): position 0..1 applies AGAIN
+      svc.table(id).append(tr.filter(col("role") === "assistant" && col("turn_idx") < 5),
+        delta(-1, 1), numFiles = 1)
+      rows += row("c4_reingest")
+      svc.deleteIndex(id)
+      rows += row("c5_delete")
+      rows.result().toDF("stage", "has_config", "n_splits", "n_docs", "n_files")
+        .orderBy("stage")
+    }),
+
     "m_describe_index" -> ((s, d) => {
       val splits = transcripts(s, d).filter(col("text").isNotNull)
         .groupBy(col("conv_id"))
@@ -2480,6 +2618,33 @@ object SparkEntry {
         |  epoch_us(ts) AS ts_us, CAST(turn_idx % 24 + 1 AS INT) AS sev_num
         |FROM transcripts""".stripMargin),
 
+    "m_image_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |                 CAST(8 + doc_id % 7 AS INT) AS height
+        |           FROM documents WHERE doc_id % 20 = 0),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |         (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS r,
+        |         (d.doc_id * 17 + x.x * 3 + y.y * 5) % 256 AS g,
+        |         (d.doc_id * 11 + x.x + y.y) % 256 AS b
+        |  FROM d,
+        |       unnest(generate_series(0, CAST(d.width - 1 AS BIGINT))) x(x),
+        |       unnest(generate_series(0, CAST(d.height - 1 AS BIGINT))) y(y))
+        |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+        |       round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+        |       round(avg(b), 4) AS mean_b
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    "m_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+        |           WHERE doc_id % 20 = 1),
+        |s AS (SELECT d.doc_id, d.n,
+        |             abs((d.doc_id * 7919 + i.i * 31) % 65536 - 32768) AS a
+        |      FROM d, unnest(generate_series(0, d.n - 1)) i(i))
+        |SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |       CAST(n AS BIGINT) AS n_frames, round(avg(a), 4) AS mean_abs
+        |FROM s GROUP BY doc_id, n""".stripMargin,
+
     "p_otlp_trace_proto" -> (SpansCte +
       """SELECT trace_id, span_id, service_name, span_name, span_kind,
         |  epoch_us(ts) AS ts_us, duration_millis, status_code, env_attr, k_attr,
@@ -2510,6 +2675,25 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
         |WHERE NOT (lang = 'fr' AND source = 'src2')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "m_index_lifecycle" -> (TranscriptsCte +
+      """SELECT * FROM (
+        |  SELECT 'c1_create' AS stage, true AS has_config,
+        |         CAST(0 AS INT) AS n_splits, CAST(0 AS BIGINT) AS n_docs,
+        |         CAST(0 AS BIGINT) AS n_files
+        |  UNION ALL
+        |  SELECT 'c2_ingest', true, CAST(3 AS INT),
+        |         (SELECT count(*) FROM transcripts WHERE role = 'user' AND turn_idx < 10),
+        |         CAST(3 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c3_clear', true, CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c4_reingest', true, CAST(1 AS INT),
+        |         (SELECT count(*) FROM transcripts WHERE role = 'assistant' AND turn_idx < 5),
+        |         CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c5_delete', false, CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY stage""".stripMargin),
 
     "m_describe_index" -> (TranscriptsCte +
       """, splits AS (
@@ -2847,6 +3031,16 @@ object SparkEntry {
         |FROM ordered
         |WHERE position > (SELECT count(*) // 2 - 1 FROM ordered)
         |ORDER BY position""".stripMargin),
+
+    "s_ingest_replicated" -> (TranscriptsCte +
+      """SELECT role, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(count(*) - 1 AS BIGINT) AS leader_pos,
+        |  CAST(count(*) - 1 AS BIGINT) AS follower_pos,
+        |  true AS contiguous
+        |FROM transcripts
+        |WHERE role IN ('user', 'system') AND turn_idx < 3 AND text IS NOT NULL
+        |GROUP BY role ORDER BY role""".stripMargin),
 
     "es_scroll" -> (TranscriptsCte +
       """, ordered AS (

@@ -1,0 +1,233 @@
+package graft.publish
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Index-management CRUD arc — the lifecycle the reference's CLI drives
+  * (quickwit-index-management/src/index.rs):
+  *
+  *  - create_index (index.rs:100-152): validate the FULL index config
+  *    (quickwit-config/src/index_config/serialize.rs:83-117
+  *    `validate_and_build`: identifier regex, retention policy + its
+  *    timestamp-field requirement, doc-mapper build, merge-policy sanity),
+  *    persist it, and register the three default sources the reference adds
+  *    on every create (ingest-api, ingest v2, CLI — index.rs:126-147).
+  *  - delete_index (index.rs:160-234): dry-run lists affected splits; the
+  *    real run marks staged+published splits for deletion, deletes their
+  *    files, then drops the index itself.
+  *  - clear_index (index.rs:280-331): delete every split + files, reset all
+  *    source checkpoints, but KEEP the index and its config.
+  *  - describe: split statistics over the published metastore state
+  *    (the CLI `index describe` surface, [[DescribeIndex]]).
+  *
+  * Spark-side shape: one directory per index under `rootDir`, each a
+  * [[graft.sources.TranscriptTable]] (manifest CAS + split file groups) plus
+  * the validated `index_config.json`. All operations are driver-side
+  * metadata work of O(#splits) — file deletion is the only IO and is
+  * per-split independent.
+  */
+object IndexService {
+
+  /** validate_identifier (quickwit-config/src/lib.rs:107-118). */
+  private val IdentifierRegex = "^[a-zA-Z][a-zA-Z0-9-_\\.]{2,254}$".r
+
+  def validateIdentifier(label: String, value: String): Unit =
+    if (!IdentifierRegex.matches(value))
+      throw new IllegalArgumentException(
+        s"$label identifier `$value` is invalid. identifiers must match the following " +
+          "regular expression: `^[a-zA-Z][a-zA-Z0-9-_\\.]{2,254}$`")
+
+  /** humantime-style duration ("1 hour", "3 days", "2 weeks"…) → millis
+    * (RetentionPolicy::retention_period, index_config/mod.rs:242-249). */
+  def parseRetentionPeriod(s: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(second|minute|hour|day|week)s?\\s*$".r
+    s.trim match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "second" => 1000L
+          case "minute" => 60L * 1000
+          case "hour"   => 3600L * 1000
+          case "day"    => 86400L * 1000
+          case "week"   => 7L * 86400 * 1000
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"failed to parse retention period `$s`")
+    }
+  }
+
+  /** Evaluation schedule: `hourly`/`daily`/… get an `@` prepended
+    * (prepend_at_char, index_config/mod.rs:283-293), `@shortcut` forms and
+    * 5/6-field cron expressions are accepted. */
+  def parseRetentionSchedule(s: String): String = {
+    val t = s.trim
+    val norm =
+      if (t.nonEmpty && !t.startsWith("@") && t.forall(_.isLetter)) "@" + t else t
+    val shortcuts = Set("@hourly", "@daily", "@weekly", "@monthly", "@yearly")
+    val cronFields = norm.split("\\s+")
+    val isCron = (cronFields.length == 5 || cronFields.length == 6) &&
+      cronFields.forall(_.matches("[\\d*,/\\-]+"))
+    if (shortcuts.contains(norm) || isCron) norm
+    else throw new IllegalArgumentException(s"failed to parse retention schedule `$s`")
+  }
+
+  final case class RetentionPolicy(periodMillis: Long, schedule: String)
+
+  /** The validated build product (IndexConfig, serialize.rs:108-116). */
+  final case class IndexConfig(
+      indexId: String,
+      docMapping: graft.parse.MappingConfig.IndexDocMapping,
+      retention: Option[RetentionPolicy],
+      configJson: String,
+      sources: Seq[String])
+
+  /** Default sources added on every create (index.rs:126-147). */
+  val DefaultSources: Seq[String] = Seq("_ingest-api-source", "_ingest-source", "_ingest-cli-source")
+
+  /** validate_and_build (serialize.rs:83-117): identifier → retention
+    * (+ timestamp-field requirement) → doc-mapper build → merge policy. */
+  def validateAndBuild(configJson: String): IndexConfig = {
+    val obj = graft.util.Json.parse(configJson).asInstanceOf[Map[String, Any]]
+    val indexId = obj.getOrElse("index_id",
+      throw new IllegalArgumentException("index config is missing `index_id`"))
+      .asInstanceOf[String]
+    validateIdentifier("Index ID", indexId)
+
+    val docMappingJson = obj.get("doc_mapping").map(graft.util.Json.render)
+      .getOrElse(throw new IllegalArgumentException("index config is missing `doc_mapping`"))
+    val searchSettings = obj.get("search_settings").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(Map.empty[String, Any])
+    val defaultFields = searchSettings.get("default_search_fields")
+      .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil)
+    val compiled = graft.parse.MappingConfig.compileIndex(docMappingJson, defaultFields)
+
+    val retention = obj.get("retention").map(_.asInstanceOf[Map[String, Any]]).map { r =>
+      val period = parseRetentionPeriod(r.getOrElse("period",
+        throw new IllegalArgumentException("retention policy is missing `period`"))
+        .asInstanceOf[String])
+      val schedule = parseRetentionSchedule(
+        r.get("schedule").map(_.asInstanceOf[String]).getOrElse("hourly"))
+      if (compiled.timestampField.isEmpty)
+        throw new IllegalArgumentException(
+          "failed to validate index config. the retention policy requires a timestamp " +
+            "field, but the indexing settings do not declare one")
+      RetentionPolicy(period, schedule)
+    }
+
+    obj.get("indexing_settings").map(_.asInstanceOf[Map[String, Any]])
+      .flatMap(_.get("merge_policy")).map(_.asInstanceOf[Map[String, Any]]).foreach { mp =>
+        val mf = mp.get("merge_factor").map(_.asInstanceOf[Double].toInt)
+        val mmf = mp.get("max_merge_factor").map(_.asInstanceOf[Double].toInt)
+        (mf, mmf) match {
+          case (Some(a), Some(b)) if b < a =>
+            throw new IllegalArgumentException(
+              "index config merge policy `max_merge_factor` must be superior or equal " +
+                "to `merge_factor`")
+          case _ => ()
+        }
+      }
+
+    IndexConfig(indexId, compiled, retention, configJson, DefaultSources)
+  }
+}
+
+final class IndexService(rootDir: String, spark: SparkSession) {
+  import IndexService._
+
+  def indexDir(indexId: String): String = s"$rootDir/$indexId"
+  private def configPath(indexId: String): Path =
+    Paths.get(indexDir(indexId), "index_config.json")
+
+  def exists(indexId: String): Boolean = Files.exists(configPath(indexId))
+
+  def listIndexes(): Seq[String] = {
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) Nil
+    else graft.util.Fs.list(root)
+      .filter(p => Files.exists(p.resolve("index_config.json")))
+      .map(_.getFileName.toString).sorted
+  }
+
+  def table(indexId: String): graft.sources.TranscriptTable =
+    new graft.sources.TranscriptTable(indexDir(indexId), spark)
+
+  def loadConfig(indexId: String): IndexConfig = {
+    if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
+    validateAndBuild(new String(Files.readAllBytes(configPath(indexId)), StandardCharsets.UTF_8))
+  }
+
+  /** create_index (index.rs:100-152). `overwrite` deletes an existing index
+    * first (ignoring not-found); without it, re-creating is an error. */
+  def createIndex(configJson: String, overwrite: Boolean = false): IndexConfig = {
+    val cfg = validateAndBuild(configJson) // validate BEFORE touching state
+    if (exists(cfg.indexId)) {
+      if (!overwrite)
+        throw new IllegalArgumentException(s"index `${cfg.indexId}` already exists")
+      deleteIndex(cfg.indexId)
+    }
+    Files.createDirectories(Paths.get(indexDir(cfg.indexId)))
+    Files.write(configPath(cfg.indexId), configJson.getBytes(StandardCharsets.UTF_8))
+    cfg
+  }
+
+  /** One affected-split row: (split_id, num_docs, file). */
+  final case class SplitInfo(splitId: String, numDocs: Long, files: Seq[String])
+
+  private def splitInfos(indexId: String): Seq[SplitInfo] =
+    new Manifest.Store(indexDir(indexId)).currentSnapshot()
+      .map(_.splits.map(s => SplitInfo(s.splitId, s.numDocs, s.files)))
+      .getOrElse(Nil)
+
+  /** clear_index (index.rs:280-331): drop every split + its files and reset
+    * every source checkpoint, keeping the index and config. The empty
+    * snapshot commits through the same CAS as any publish. */
+  def clearIndex(indexId: String): Seq[SplitInfo] = {
+    if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
+    val store = new Manifest.Store(indexDir(indexId))
+    val infos = splitInfos(indexId)
+    store.currentSnapshot().foreach { snap =>
+      store.commitSnapshot(Manifest.Snapshot(snap.snapshotId + 1, Nil, Map.empty))
+        .left.foreach(e => throw new IllegalStateException(s"clear_index lost the commit race: $e"))
+    }
+    deleteFiles(infos)
+    infos
+  }
+
+  /** delete_index (index.rs:160-234): dry-run returns the affected splits
+    * without touching anything; the real run clears splits + files and then
+    * removes the index directory (config included) — "rm -rf <index path>". */
+  def deleteIndex(indexId: String, dryRun: Boolean = false): Seq[SplitInfo] = {
+    if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
+    val infos = splitInfos(indexId)
+    if (dryRun) return infos
+    deleteFiles(infos)
+    // remove manifest snapshots, data dirs, config — bottom-up walk
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) graft.util.Fs.list(p).foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(indexDir(indexId)))
+    infos
+  }
+
+  /** CLI `index describe` over the current published splits. */
+  def describe(indexId: String): org.apache.spark.sql.DataFrame = {
+    if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = new Manifest.Store(indexDir(indexId)).currentSnapshot()
+      .map(_.splits.map(s =>
+        (s.splitId, s.numDocs, s.uncompressedBytes, s.timeRangeStartMicros, s.timeRangeEndMicros)))
+      .getOrElse(Nil)
+    DescribeIndex.stats(
+      rows.toDF("split_id", "num_docs", "bytes", "ts_start", "ts_end"),
+      col("num_docs"), col("bytes"), col("ts_start"), col("ts_end"))
+  }
+
+  private def deleteFiles(infos: Seq[SplitInfo]): Unit =
+    infos.flatMap(_.files).foreach { f =>
+      Files.deleteIfExists(Paths.get(f.replaceFirst("^file:", "")))
+    }
+}

@@ -42,21 +42,79 @@ object EsScroll {
     secs
   }
 
-  final class Context(clock: () => Long = () => System.currentTimeMillis()) {
+  /** Default capacity mirrors the reference's hardcoded TtlCache bound
+    * (SCROLL_BATCH_LEN = 1000, scroll_context.rs:48,134). */
+  val DefaultCapacity = 1000
+
+  /** Scroll-state store: TTL expiry enforced by a deadline min-heap swept
+    * INDEPENDENTLY of access (pass `sweepIntervalMs` to run the sweeper on
+    * a daemon thread; tests drive [[Context.purgeExpired]] with an
+    * injected clock), plus an LRU capacity bound — inserting past
+    * `capacity` silently evicts the least-recently-used context, exactly
+    * like the reference's `TtlCache::new(SCROLL_BATCH_LEN)`; the evicted
+    * scroll id then fails lookups with "scroll context not found".
+    *
+    * Scope note: this store is in-process. The reference externalizes
+    * scroll state into a cluster KV (`ClusterClient::put_kv`,
+    * scroll_context.rs:128-150) precisely so searchers stay STATELESS —
+    * any node can serve the continuation. The Spark analog of that shape
+    * would persist (bodyJson, cursor, total) — all plain values — into a
+    * shared store keyed by scroll id; the DataFrame itself is rebuilt per
+    * continuation from the table, not shipped. */
+  final class Context(clock: () => Long = () => System.currentTimeMillis(),
+                      capacity: Int = DefaultCapacity,
+                      sweepIntervalMs: Option[Long] = None) {
 
     private final case class State(df: DataFrame, resolver: FieldResolver,
                                    idCol: Column, idField: String,
                                    bodyJson: String,
                                    cursor: Option[Seq[Any]],
                                    total: Long,
-                                   deadlineMs: Long, ttlMs: Long)
+                                   deadlineMs: Long, ttlMs: Long,
+                                   lastAccessMs: Long)
 
     private val store = TrieMap.empty[String, State]
+    // (deadline, sid) min-heap; refreshed contexts leave stale entries
+    // behind, which the sweep skips by re-checking the live deadline
+    private val deadlines =
+      new java.util.PriorityQueue[(Long, String)](11,
+        (a: (Long, String), b: (Long, String)) => java.lang.Long.compare(a._1, b._1))
 
-    private def evictExpired(): Unit = {
-      val now = clock()
-      store.filterInPlace((_, s) => s.deadlineMs > now)
+    sweepIntervalMs.foreach { ms =>
+      val t = new java.util.Timer("es-scroll-sweeper", true)
+      t.schedule(new java.util.TimerTask { def run(): Unit = purgeExpired() }, ms, ms)
     }
+
+    /** Drop every context past its deadline — O(expired · log n), callable
+      * from the sweeper thread without touching any request path. */
+    def purgeExpired(): Unit = deadlines.synchronized {
+      val now = clock()
+      var top = deadlines.peek()
+      while (top != null && top._1 <= now) {
+        deadlines.poll()
+        val (dl, sid) = top
+        // only evict if the LIVE deadline matches — a refreshed context
+        // re-registered a later entry and this one is stale
+        store.get(sid).filter(_.deadlineMs == dl).filter(_.deadlineMs <= now)
+          .foreach(_ => store.remove(sid))
+        top = deadlines.peek()
+      }
+    }
+
+    def size: Int = store.size
+
+    private def register(sid: String, st: State): Unit = deadlines.synchronized {
+      if (!store.contains(sid) && store.size >= capacity) {
+        // LRU eviction at capacity (ttl_cache's insert-beyond-capacity)
+        store.minByOption(_._2.lastAccessMs).foreach { case (victim, _) =>
+          store.remove(victim)
+        }
+      }
+      store.put(sid, st)
+      deadlines.add((st.deadlineMs, sid))
+    }
+
+    private def evictExpired(): Unit = purgeExpired()
 
     /** Opening `_search?scroll=TTL`. `idField` names the unique id column
       * (also the `_id` source) used as the trailing tiebreak sort. The
@@ -70,8 +128,8 @@ object EsScroll {
       val page = EsApi.searchPage(df, resolver, idCol, bodyJson,
         cursorOverride = None, extraSort = Seq(idField -> true), includeAggs = true)
       val sid = java.util.UUID.randomUUID().toString
-      store.put(sid, State(df, resolver, idCol, idField, bodyJson,
-        page.lastSortValues, page.total, clock() + ttlMs, ttlMs))
+      register(sid, State(df, resolver, idCol, idField, bodyJson,
+        page.lastSortValues, page.total, clock() + ttlMs, ttlMs, clock()))
       splice(sid, page.rendered)
     }
 
@@ -93,9 +151,9 @@ object EsScroll {
       val page = EsApi.searchPage(st.df, st.resolver, st.idCol, st.bodyJson,
         cursorOverride = st.cursor, extraSort = Seq(st.idField -> true),
         includeAggs = false, totalOverride = Some(st.total))
-      store.put(scrollId,
+      register(scrollId,
         st.copy(cursor = page.lastSortValues.orElse(st.cursor),
-          deadlineMs = clock() + st.ttlMs))
+          deadlineMs = clock() + st.ttlMs, lastAccessMs = clock()))
       splice(scrollId, page.rendered)
     }
 

@@ -1,0 +1,167 @@
+package graft.sources
+
+/** Ingest v2 replicated data plane — leader/follower persist with
+  * replication-factor acks (quickwit-ingest/src/ingest_v2/replication.rs;
+  * persist flow ingester.rs): the leader appends a batch to its local WAL,
+  * replicates it to the follower over a seqno-ordered stream, and ACKS THE
+  * CLIENT only after the follower confirmed — replication factor 2 means
+  * ack-after-quorum, so every acked position exists on two nodes.
+  *
+  * Contract points mirrored from the reference's own test matrix
+  * (replication.rs:1011-1454):
+  *  - `init_replica` / `replicate` share one strictly monotonic
+  *    `replication_seqno` per stream; an out-of-order request is rejected
+  *    with the reference's exact error (replication.rs:504-509).
+  *  - Routing guards: wrong leader/follower ids are internal errors with
+  *    the reference's messages (replication.rs:492-502).
+  *  - Unknown shard → `ShardNotFound` failure; closed shard → `ShardClosed`
+  *    failure (test_replication_task_shard_closed) — failures, not
+  *    exceptions: the response reports them per subrequest.
+  *  - Truncation propagates leader → follower (follower lag truncation),
+  *    so a promoted follower never re-serves positions the pipeline
+  *    already consumed.
+  *  - Failover: promoting the follower yields a WAL whose end position
+  *    equals the last ACKED position — acked docs are never lost, unacked
+  *    docs were never confirmed to the client (ingester.rs persist).
+  *
+  * Both WALs are [[IngestQueue]]s (the same 16 MiB-segment record log the
+  * v1 queues use); "nodes" are directories, which is exactly the unit a
+  * real deployment replicates.
+  */
+object Replication {
+
+  sealed trait FailureReason { def label: String }
+  case object ShardNotFound extends FailureReason { val label = "shard_not_found" }
+  case object ShardClosed extends FailureReason { val label = "shard_closed" }
+
+  final case class ReplicateSuccess(queueId: String, replicationPositionInclusive: Long)
+  final case class ReplicateFailure(queueId: String, reason: FailureReason)
+  final case class ReplicateResponse(followerId: String, successes: Seq[ReplicateSuccess],
+                                     failures: Seq[ReplicateFailure], replicationSeqno: Long)
+
+  /** The follower half: a replica ingester applying the leader's stream. */
+  final class Follower(val wal: IngestQueue, val leaderId: String, val followerId: String) {
+
+    private var expectedSeqno = 0L
+    private val shards = scala.collection.mutable.Map.empty[String, Boolean] // id -> open
+    private var positions = Map.empty[String, Long] // replication position per shard
+
+    private def checkRouting(reqLeader: String, reqFollower: String): Unit = {
+      if (reqLeader != leaderId) throw new IllegalArgumentException(
+        s"routing error: expected leader ID `$leaderId`, got `$reqLeader`")
+      if (reqFollower != followerId) throw new IllegalArgumentException(
+        s"routing error: expected follower ID `$followerId`, got `$reqFollower`")
+    }
+
+    private def checkSeqno(seqno: Long): Unit = {
+      if (seqno != expectedSeqno) throw new IllegalArgumentException(
+        s"received out-of-order replication request: expected replication seqno " +
+          s"`$expectedSeqno`, got `$seqno`")
+      expectedSeqno += 1
+    }
+
+    /** init_replica (replication.rs:444-486): open the replica queue. */
+    def initReplica(reqLeader: String, reqFollower: String, seqno: Long,
+                    queueId: String): Long = synchronized {
+      checkRouting(reqLeader, reqFollower)
+      checkSeqno(seqno)
+      wal.createQueue(queueId)
+      shards(queueId) = true
+      positions += queueId -> (wal.endPosition(queueId) - 1)
+      seqno
+    }
+
+    /** replicate (replication.rs:488-686): apply one batch per subrequest;
+      * per-shard failures report, they don't throw. */
+    def replicate(reqLeader: String, reqFollower: String, seqno: Long,
+                  subrequests: Seq[(String, Long, Seq[String])]): ReplicateResponse =
+      synchronized {
+        checkRouting(reqLeader, reqFollower)
+        checkSeqno(seqno)
+        val successes = Seq.newBuilder[ReplicateSuccess]
+        val failures = Seq.newBuilder[ReplicateFailure]
+        subrequests.foreach { case (queueId, fromExclusive, docs) =>
+          shards.get(queueId) match {
+            case None => failures += ReplicateFailure(queueId, ShardNotFound)
+            case Some(false) => failures += ReplicateFailure(queueId, ShardClosed)
+            case Some(true) =>
+              require(positions(queueId) == fromExclusive,
+                s"replication gap on $queueId: at ${positions(queueId)}, batch from $fromExclusive")
+              val (_, last) = wal.ingest(queueId, docs)
+              positions += queueId -> last
+              successes += ReplicateSuccess(queueId, last)
+          }
+        }
+        ReplicateResponse(followerId, successes.result(), failures.result(), seqno)
+      }
+
+    /** Leader-driven truncation (the follower lags consumption; the leader
+      * forwards `suggest_truncate` so replica segments are reclaimed too). */
+    def truncate(queueId: String, upToInclusive: Long): Int = synchronized {
+      wal.suggestTruncate(queueId, upToInclusive)
+    }
+
+    def closeShard(queueId: String): Unit = synchronized { shards(queueId) = false }
+
+    /** Failover: the replica becomes a leader over its own WAL. Every
+      * position it holds was leader-acked (ack-after-quorum), so the
+      * promoted queue is contiguous with what clients observed. */
+    def promote(newFollower: Follower): Leader = synchronized {
+      val l = new Leader(wal, followerId, newFollower)
+      shards.keys.foreach(l.adoptShard)
+      l
+    }
+
+    private[Replication] def positionOf(queueId: String): Long =
+      synchronized(positions.getOrElse(queueId, -1L))
+  }
+
+  /** The leader half: local persist + replicate + quorum ack. */
+  final class Leader(val wal: IngestQueue, val leaderId: String, follower: Follower) {
+
+    private var nextSeqno = 0L
+    private val shards = scala.collection.mutable.Set.empty[String]
+    private def seqno(): Long = { val s = nextSeqno; nextSeqno += 1; s }
+
+    def openShard(queueId: String): Unit = synchronized {
+      wal.createQueue(queueId)
+      follower.initReplica(leaderId, follower.followerId, seqno(), queueId)
+      shards += queueId
+    }
+
+    /** A promoted leader adopts its existing replica queues without
+      * re-initializing them (they already hold the acked records). */
+    private[Replication] def adoptShard(queueId: String): Unit = synchronized {
+      wal.createQueue(queueId)
+      shards += queueId
+    }
+
+    /** persist: local WAL append → replicate → ack. Returns the acked
+      * position ONLY once the follower confirmed; a follower failure
+      * surfaces to the caller and the batch is NOT acked (the reference
+      * fails the persist subrequest the same way). */
+    def persist(queueId: String, docs: Seq[String]): Long = synchronized {
+      require(shards.contains(queueId), s"unknown shard: $queueId")
+      val fromExclusive = wal.endPosition(queueId) - 1
+      val (_, last) = wal.ingest(queueId, docs)
+      val resp = follower.replicate(leaderId, follower.followerId, seqno(),
+        Seq((queueId, fromExclusive, docs)))
+      resp.failures.headOption.foreach { f =>
+        throw new IllegalStateException(
+          s"replication failed on ${f.queueId}: ${f.reason.label} — batch not acked")
+      }
+      val acked = resp.successes.head.replicationPositionInclusive
+      require(acked == last,
+        s"replica diverged on $queueId: leader at $last, follower at $acked")
+      last
+    }
+
+    /** Consumption truncation propagates to the replica. */
+    def suggestTruncate(queueId: String, upToInclusive: Long): Unit = synchronized {
+      wal.suggestTruncate(queueId, upToInclusive)
+      follower.truncate(queueId, upToInclusive)
+    }
+
+    def ackedPosition(queueId: String): Long = synchronized(wal.endPosition(queueId) - 1)
+  }
+}

@@ -30,6 +30,13 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     * partial-request cache. */
   val leafCache = new graft.operators.LeafSearchCache(32L * 1024 * 1024)
 
+  /** Shared leaf fan-out pool: one cached pool per table instead of a fresh
+    * fixed pool per query — the `latest k` hot path is one split open, and
+    * per-query pool churn was pure overhead there (VERDICT r4 nit #4).
+    * Daemon threads; width is bounded by each call's batch size. */
+  private lazy val leafPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-leaf"); t.setDaemon(true); t })
+
   /** Tag-value cap per field, as the reference's tag extraction cap —
     * above it the field is not tagged exhaustively (no `field!` marker)
     * and stays unprunable (default_mapper tag cap = 1000). */
@@ -306,10 +313,9 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
     // the resolver is part of the request identity: the same AST compiles
     // to different predicates under different field resolutions
     val fp = s"topk|f=$sortField|k=$k|desc=$desc|q=${query.fold("*")(_.toString)}|r=$resolver"
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, batch))
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
+      scala.concurrent.ExecutionContext.fromExecutor(leafPool);
+    {
       while (i < ordered.size && !done) {
         val width = if (first) 1 else math.max(1, batch)
         // candidates under the CURRENT bound; the bound is monotone along
@@ -353,7 +359,7 @@ final class TranscriptTable(val dir: String, spark: SparkSession) {
           first = false
         }
       }
-    } finally pool.shutdown()
+    }
     val out =
       if (schema == null) spark.emptyDataset(spark.implicits.newProductEncoder[Turn]).toDF()
       else spark.createDataFrame(

@@ -15,6 +15,26 @@ object Json {
     v
   }
 
+  /** Inverse of [[parse]]: render a parsed value back to JSON text (whole
+    * doubles print integrally, matching how they parsed). */
+  def render(v: Any): String = v match {
+    case null       => "null"
+    case b: Boolean => b.toString
+    case d: Double  =>
+      if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString else d.toString
+    case n: Number  => n.toString
+    case s: String  => "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case m: Map[_, _] =>
+      m.map { case (k, x) => render(k.toString) + ":" + render(x) }.mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(render).mkString("[", ",", "]")
+    case other      => render(other.toString)
+  }
+
   private final class P(s: String) {
     var pos = 0
     def eof: Boolean = pos >= s.length

@@ -19,13 +19,13 @@ class MultimodalSpec extends SparkTestBase {
 
   test("per-partition decode: deterministic features, exact sizes") {
     implicit val s = spark
-    val out = decodeFeatures(mediaDs, new StubDecoder(8)).collect()
+    val out = decodeFeatures(mediaDs, new HashDecoder(8)).collect()
       .map(f => f.doc_id -> f).toMap
     assert(out.size === 20)
     assert(out(3L).n_bytes === 67L)
     assert(out.values.forall(_.features.length === 8))
     // determinism across runs
-    val again = decodeFeatures(mediaDs, new StubDecoder(8)).collect()
+    val again = decodeFeatures(mediaDs, new HashDecoder(8)).collect()
       .map(f => f.doc_id -> f.features.toSeq).toMap
     assert(again === out.map { case (k, v) => k -> v.features.toSeq })
     // same bytes ⇒ same checksum; different sizes ⇒ different
@@ -63,5 +63,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0).getInt(0) === 20)
     assert(out(1).getInt(0) === 10)
     assert(out(2).isNullAt(0))
+  }
+
+  test("REAL PNG decode: hand-computed pixel means on a 2x2 image") {
+    // pixels set directly (not through synthPng's formula): decode must
+    // see exactly these channel values back through the real codec
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (50 << 16) | (60 << 8) | 70)
+    img.setRGB(0, 1, (90 << 16) | (100 << 8) | 110)
+    img.setRGB(1, 1, (130 << 16) | (140 << 8) | 150)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val s = decodeImageStats(out.toByteArray)
+    assert(s.width === 2 && s.height === 2 && s.channels === 3)
+    assert(s.meanR === (10 + 50 + 90 + 130) / 4.0)
+    assert(s.meanG === (20 + 60 + 100 + 140) / 4.0)
+    assert(s.meanB === (30 + 70 + 110 + 150) / 4.0)
+  }
+
+  test("synthPng round-trips its pixel formula through a REAL PNG encode/decode") {
+    val (id, w, h) = (42L, 13, 9)
+    val s = decodeImageStats(synthPng(id, w, h))
+    def mean(f: (Int, Int) => Long): Double =
+      (for { y <- 0 until h; x <- 0 until w } yield f(x, y)).sum.toDouble / (w * h)
+    assert(s.width === w && s.height === h)
+    assert(s.meanR === mean((x, y) => (id * 31 + x * 7 + y * 13) % 256))
+    assert(s.meanG === mean((x, y) => (id * 17 + x * 3 + y * 5) % 256))
+    assert(s.meanB === mean((x, y) => (id * 11 + x + y) % 256))
+  }
+
+  test("undecodable image bytes throw instead of skewing the batch") {
+    val e = intercept[IllegalArgumentException](decodeImageStats(Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("undecodable image"))
+  }
+
+  test("REAL WAV decode: synthWav PCM round-trips format, frames, mean |sample|") {
+    val (id, n) = (7L, 480)
+    val s = decodeWavStats(synthWav(id, n, sampleRateHz = 8000))
+    assert(s.sampleRateHz === 8000 && s.channels === 1 && s.bitsPerSample === 16)
+    assert(s.numFrames === n.toLong)
+    val expect = (0 until n).map(i => math.abs(((id * 7919 + i.toLong * 31) % 65536) - 32768)).sum.toDouble / n
+    assert(s.meanAbs === expect)
+  }
+
+  test("ImageIoDecoder plugs into the per-partition decode path") {
+    import spark.implicits._
+    implicit val s = spark
+    val rows = Seq(
+      MediaRow(1L, synthPng(1L, 4, 4), MediaMeta("image", 4, 4, 0, 0L)),
+      MediaRow(2L, synthPng(2L, 6, 3), MediaMeta("image", 6, 3, 0, 0L)))
+    val feats = decodeFeatures(rows.toDS(), new ImageIoDecoder).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    assert(feats(1L)(0) === 4.0f && feats(1L)(1) === 4.0f)
+    assert(feats(2L)(0) === 6.0f && feats(2L)(7) === 2.0f) // aspect w/h
   }
 }

@@ -126,4 +126,55 @@ class EsScrollSpec extends SparkTestBase {
     now = 61000L
     intercept[IllegalArgumentException](ctx.scroll(sid))
   }
+
+  test("deadline sweep drops expired contexts WITHOUT any access") {
+    var now = 0L
+    val ctx = new EsScroll.Context(clock = () => now)
+    val sids = (1 to 3).map { _ =>
+      parsed(ctx.search(docs, resolver, "id", """{"size":1}""", "60s"))("_scroll_id")
+    }
+    assert(ctx.size === 3)
+    now = 61000L
+    // the sweeper thread would call this on its own cadence; no search or
+    // scroll call happens between expiry and the purge
+    ctx.purgeExpired()
+    assert(ctx.size === 0, "expired contexts must vanish without being touched")
+    sids.foreach(sid =>
+      intercept[IllegalArgumentException](ctx.scroll(sid.asInstanceOf[String])))
+    // a REFRESHED context survives the sweep of its stale first deadline
+    val sid2 = parsed(ctx.search(docs, resolver, "id",
+      """{"size":1,"sort":[{"id":"asc"}]}""", "60s"))("_scroll_id").asInstanceOf[String]
+    now = 100000L; ctx.scroll(sid2)     // refresh: new deadline 160s
+    now = 130000L; ctx.purgeExpired()   // the 60s-era heap entry is stale
+    assert(ctx.size === 1)
+    assert(hits(parsed(ctx.scroll(sid2))).nonEmpty)
+  }
+
+  test("capacity bound evicts the least-recently-used context (TtlCache shape)") {
+    var now = 0L
+    val ctx = new EsScroll.Context(clock = () => now, capacity = 2)
+    def open(): String = {
+      now += 1000
+      parsed(ctx.search(docs, resolver, "id",
+        """{"size":1,"sort":[{"id":"asc"}]}""", "30m"))("_scroll_id").asInstanceOf[String]
+    }
+    val a = open(); val b = open()
+    now += 1000; ctx.scroll(a) // a becomes most-recently-used
+    val c = open()             // at capacity: evicts b (the LRU), not a
+    assert(ctx.size === 2)
+    intercept[IllegalArgumentException](ctx.scroll(b))
+    assert(hits(parsed(ctx.scroll(a))).nonEmpty)
+    assert(hits(parsed(ctx.scroll(c))).nonEmpty)
+  }
+
+  test("background sweeper thread purges on its own cadence") {
+    @volatile var now = 0L
+    val ctx = new EsScroll.Context(clock = () => now, sweepIntervalMs = Some(20L))
+    ctx.search(docs, resolver, "id", """{"size":1}""", "1s")
+    assert(ctx.size === 1)
+    now = 2000L
+    val deadline = System.currentTimeMillis() + 5000
+    while (ctx.size > 0 && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(ctx.size === 0, "daemon sweeper should purge without any API call")
+  }
 }

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingest v2 replication data plane, matrix ported from the reference's own
+  * tests (replication.rs:809-1454: happy path, out-of-order seqno, routing
+  * errors, shard closed / not found, truncation, failover). */
+class ReplicationSpec extends AnyFunSuite {
+
+  private def wal(): IngestQueue = new IngestQueue(
+    java.nio.file.Files.createTempDirectory("repl-spec").toString)
+
+  private def pair(): (Replication.Leader, Replication.Follower) = {
+    val f = new Replication.Follower(wal(), "test-leader", "test-follower")
+    (new Replication.Leader(wal(), "test-leader", f), f)
+  }
+
+  test("happy path: init seqnos 0,1,2; persist acks after quorum; positions advance") {
+    val (leader, follower) = pair()
+    leader.openShard("idx:0/src/01") // seqno 0
+    leader.openShard("idx:0/src/02") // seqno 1
+    leader.openShard("idx:1/src/01") // seqno 2
+    assert(leader.persist("idx:0/src/01", Seq("d0", "d1")) === 1L)
+    assert(leader.persist("idx:0/src/01", Seq("d2")) === 2L)
+    assert(leader.persist("idx:0/src/02", Seq("e0")) === 0L)
+    // both nodes hold the acked records at the same positions
+    assert(leader.ackedPosition("idx:0/src/01") === 2L)
+    assert(follower.wal.fetch("idx:0/src/01", -1L, 10).map(_._2) === Seq("d0", "d1", "d2"))
+    assert(follower.wal.fetch("idx:0/src/02", -1L, 10).map(_._2) === Seq("e0"))
+  }
+
+  test("out-of-order replication seqno: the reference's exact error") {
+    val (_, follower) = pair()
+    follower.initReplica("test-leader", "test-follower", 0L, "q")
+    val e = intercept[IllegalArgumentException] {
+      follower.replicate("test-leader", "test-follower", 5L, Seq(("q", -1L, Seq("d"))))
+    }
+    assert(e.getMessage ===
+      "received out-of-order replication request: expected replication seqno `1`, got `5`")
+  }
+
+  test("routing guards: wrong leader / wrong follower ids") {
+    val (_, follower) = pair()
+    val e1 = intercept[IllegalArgumentException] {
+      follower.initReplica("bad-leader", "test-follower", 0L, "q")
+    }
+    assert(e1.getMessage === "routing error: expected leader ID `test-leader`, got `bad-leader`")
+    val e2 = intercept[IllegalArgumentException] {
+      follower.initReplica("test-leader", "bad-follower", 0L, "q")
+    }
+    assert(e2.getMessage ===
+      "routing error: expected follower ID `test-follower`, got `bad-follower`")
+  }
+
+  test("shard not found / shard closed report as per-subrequest FAILURES") {
+    val (_, follower) = pair()
+    follower.initReplica("test-leader", "test-follower", 0L, "open-q")
+    val r1 = follower.replicate("test-leader", "test-follower", 1L,
+      Seq(("missing-q", -1L, Seq("d")), ("open-q", -1L, Seq("d"))))
+    assert(r1.failures.map(f => (f.queueId, f.reason)) ===
+      Seq(("missing-q", Replication.ShardNotFound)))
+    assert(r1.successes.map(_.queueId) === Seq("open-q"))
+    follower.closeShard("open-q")
+    val r2 = follower.replicate("test-leader", "test-follower", 2L,
+      Seq(("open-q", 0L, Seq("d2"))))
+    assert(r2.failures.map(_.reason) === Seq(Replication.ShardClosed))
+    assert(r2.successes.isEmpty)
+    // a failed replication is NOT acked by the leader
+    val (leader2, follower2) = pair()
+    leader2.openShard("q")
+    follower2.closeShard("q")
+    intercept[IllegalStateException](leader2.persist("q", Seq("doc")))
+  }
+
+  test("truncation propagates to the follower; positions never rewind") {
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    leader.persist("q", Seq("a", "b")) // segment 0-1 on both WALs
+    leader.persist("q", Seq("c"))      // segment 2
+    // truncation is segment-granular (the mrecordlog contract): committed
+    // through 1 ⇒ segment 0-1 is reclaimed on BOTH nodes, segment 2 stays
+    leader.suggestTruncate("q", 1L)
+    assert(leader.wal.fetch("q", -1L, 10).map(_._1) === Seq(2L))
+    assert(follower.wal.fetch("q", -1L, 10).map(_._1) === Seq(2L))
+    // positions continue past truncation on BOTH nodes
+    assert(leader.persist("q", Seq("d")) === 3L)
+  }
+
+  test("failover: promoted follower holds every acked doc, contiguous positions") {
+    val (leader, follower) = pair()
+    leader.openShard("q1")
+    leader.openShard("q2")
+    leader.persist("q1", Seq("a", "b"))
+    leader.persist("q2", Seq("x"))
+    leader.persist("q1", Seq("c"))
+    // the leader dies here; promote the replica
+    val promoted = follower.promote(new Replication.Follower(wal(), "test-follower", "node-3"))
+    assert(promoted.leaderId === "test-follower")
+    assert(promoted.wal.fetch("q1", -1L, 10) === Seq((0L, "a"), (1L, "b"), (2L, "c")))
+    assert(promoted.wal.fetch("q2", -1L, 10) === Seq((0L, "x")))
+    assert(promoted.ackedPosition("q1") === 2L)
+    assert(promoted.ackedPosition("q2") === 0L)
+  }
+
+  test("replication gap (diverged replica) is rejected, not silently applied") {
+    val (_, follower) = pair()
+    follower.initReplica("test-leader", "test-follower", 0L, "q")
+    follower.replicate("test-leader", "test-follower", 1L, Seq(("q", -1L, Seq("a"))))
+    val e = intercept[IllegalArgumentException] {
+      follower.replicate("test-leader", "test-follower", 2L, Seq(("q", 5L, Seq("z"))))
+    }
+    assert(e.getMessage.contains("replication gap"))
+  }
+}
