@@ -105,24 +105,30 @@ object Tokenizers {
     default(regexp_replace(coalesce(c, lit("")), s"($cjk)", " $1 "))
   }
 
-  /** Japanese segmentation without a dictionary — script-run segmentation
-    * plus a small embedded particle/auxiliary lexicon (the reference links
-    * Lindera's ipadic tokenizer, multilang.rs:65-150; no dictionaries exist
+  /** Japanese segmentation with an embedded ipadic-shaped dictionary
+    * slice ([[JpnLexicon]]) — the reference links Lindera's ipadic
+    * tokenizer (multilang.rs:65-150; the full dictionaries are absent
     * offline). Three break rules as codegen'd regex passes:
-    *  1. kanji runs and katakana runs (incl. the ー prolonged-sound mark)
-    *     become tokens — script-transition breaks;
+    *  1. dictionary surfaces (kanji stem × conjugation-class okurigana:
+    *     好き, 飲み, 言っ, 高く…) stay WHOLE, tried longest-first ahead of
+    *     the bare script-run branches; remaining kanji runs and katakana
+    *     runs (incl. the ー prolonged-sound mark) become tokens —
+    *     script-transition breaks;
     *  2. a single-char particle/connective at the START of a hiragana run
     *     (i.e. right after a content word) is detached (が を は の に…);
     *  3. a sentence-final auxiliary at the END of a hiragana run is
     *     detached (です ます ました…).
-    * Kanji+okurigana compounds (好き → 好 き) still split at the script
-    * transition — the documented divergence vs a dictionary tokenizer. */
+    * Remaining divergence vs a full dictionary: out-of-slice stems split
+    * at the script transition, and compound-noun boundaries inside one
+    * kanji run (勉強好き) are not found. */
   def jpnSegment(body: Column): Column = {
     val hira = "\\p{IsHiragana}"
     val runs = regexp_replace(concat(lit(" "), body),
-      "(\\p{IsHan}+|[\\p{IsKatakana}\\x{30FC}]+)", " $1 ")
+      s"(${JpnLexicon.alternation}|\\p{IsHan}+|[\\p{IsKatakana}\\x{30FC}]+)", " $1 ")
+    // で is both the instrumental particle and the copula stem — don't
+    // detach it off the です/でした auxiliaries rule 3 owns
     val particles = regexp_replace(runs,
-      s"(?<=\\s)(は|が|を|に|で|と|の|へ|も|や|て)(?=$hira)", "$1 ")
+      s"(?<=\\s)(は|が|を|に|で(?!す|した)|と|の|へ|も|や|て)(?=$hira)", "$1 ")
     regexp_replace(particles,
       s"(?<=$hira)(でした|ました|ません|です|ます|ない|たい)(?=\\s|$$)", " $1")
   }

@@ -120,13 +120,35 @@ class TokenizersSpec extends SparkTestBase {
     // MeCab(ipadic) gives 東京/タワー/は/パリ/の/エッフェル/塔/に/似/て/い/ます
     assert(evalTokens("JPN:東京タワーはパリのエッフェル塔に似ています", Tokenizers.multilang) ===
       Seq("東京", "タワー", "は", "パリ", "の", "エッフェル", "塔", "に", "似", "て", "い", "ます"))
-    // kanji+okurigana splits at the script transition (documented
-    // divergence: dictionary gives 好き as one morpheme)
+    // kanji+okurigana compounds resolve through the embedded dictionary
+    // slice: 好き is ONE morpheme, exactly MeCab's boundary
     assert(evalTokens("JPN:猫が好きです", Tokenizers.multilang) ===
-      Seq("猫", "が", "好", "き", "です"))
-    // katakana loanword with prolonged-sound mark is one token
+      Seq("猫", "が", "好き", "です"))
+    // katakana loanword with prolonged-sound mark is one token; the verb
+    // continuative 飲み stays whole with ます split off (MeCab: 飲み/ます)
     assert(evalTokens("JPN:コーヒーを飲みます", Tokenizers.multilang) ===
-      Seq("コーヒー", "を", "飲", "み", "ます"))
+      Seq("コーヒー", "を", "飲み", "ます"))
+  }
+
+  test("multilang JPN: dictionary-slice conjugation surfaces match MeCab boundaries") {
+    // godan geminate stem: 言った → 言っ/た (the euphonic stem keeps its
+    // okurigana; た is the auxiliary)
+    assert(evalTokens("JPN:彼はそう言った", Tokenizers.multilang) ===
+      Seq("彼", "は", "そう", "言っ", "た"))
+    // i-adjective surfaces: 高く one token; past 高かった → 高かっ/た
+    assert(evalTokens("JPN:山が高くなる", Tokenizers.multilang) ===
+      Seq("山", "が", "高く", "なる"))
+    assert(evalTokens("JPN:値段が高かった", Tokenizers.multilang) ===
+      Seq("値段", "が", "高かっ", "た"))
+    // ichidan bare stem before an auxiliary: 食べました → 食べ/ました
+    assert(evalTokens("JPN:寿司を食べました", Tokenizers.multilang) ===
+      Seq("寿司", "を", "食べ", "ました"))
+    // longest-first: dictionary form 食べる wins over the bare stem 食べ
+    assert(evalTokens("JPN:パンを食べる", Tokenizers.multilang) ===
+      Seq("パン", "を", "食べる"))
+    // out-of-slice stems still fall back to the script-run break
+    assert(evalTokens("JPN:物語を紡ぎます", Tokenizers.multilang) ===
+      Seq("物語", "を", "紡", "ぎ", "ます"))
   }
 
   test("multilang KOR: eojeol units with trailing josa detached") {
