@@ -20,6 +20,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic multi-line "web page" for the C4 cleaning query: the doc
+    * text as a first sentence-terminated line, a repeated-sentence line whose
+    * sentence count varies 0–6 with doc_id, two lines the C4 line rules must
+    * always drop (no terminal punctuation / under 3 words), and conditional
+    * boilerplate lines exercising the javascript, lorem-ipsum and curly-brace
+    * rules. Pure column exprs; the DuckDB oracle rebuilds the identical page. */
+  private def c4Page(docId: Column, text: Column): Column = concat_ws("\n",
+    concat(text, lit(".")),
+    rtrim(repeat(lit("All work and no play makes a dull page. "),
+      pmod(docId, lit(7)).cast("int"))),
+    lit("no terminal punctuation on this line"),
+    lit("Tiny line."),
+    when(pmod(docId, lit(5)) === 0,
+      lit("Please enable javascript to view this content.")).otherwise(lit("")),
+    when(pmod(docId, lit(13)) === 0,
+      lit("Lorem ipsum dolor sit amet.")).otherwise(lit("")),
+    when(pmod(docId, lit(11)) === 0,
+      lit("var cfg = {enabled: true};")).otherwise(lit("")))
+
   // ---------------------------------------------------------------------
   // transcripts: the BASELINE input shape (conv_id, turn_idx, role, text,
   // tool, ts), derived DETERMINISTICALLY from the driver's `events` table so
@@ -918,6 +937,21 @@ object SparkEntry {
         c.getField("n_emails").as("n_emails"),
         c.getField("n_ips").as("n_ips"),
         c.getField("n_phones").as("n_phones"))
+    }),
+
+    // C4 cleaning (Raffel et al. 2020 §2.2): line rules (terminal punct /
+    // ≥3 words / "javascript") + page rules ("lorem ipsum" / curly brace /
+    // ≥5 sentences) over multi-line pages constructed deterministically
+    // from each document — the oracle builds the identical page. Pure
+    // column exprs: whole-stage codegen, zero shuffle at any scale.
+    "x_c4_clean" -> ((s, d) => {
+      val r = QualityFilters.c4Clean(c4Page(col("doc_id"), col("text")))
+      t(s, d, "documents").select(col("doc_id"),
+        r.getField("n_lines").as("n_lines"),
+        r.getField("n_kept_lines").as("n_kept_lines"),
+        r.getField("n_sentences").as("n_sentences"),
+        r.getField("keep_page").as("keep_page"),
+        r.getField("cleaned").as("cleaned"))
     }),
 
     // Benchmark decontamination (Decontaminate.contamination): flag docs
@@ -3248,6 +3282,38 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(no_ip, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones
         |FROM step2""".stripMargin,
+
+    "x_c4_clean" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    text || '.' || chr(10) ||
+        |    rtrim(repeat('All work and no play makes a dull page. ', CAST(doc_id % 7 AS INT))) || chr(10) ||
+        |    'no terminal punctuation on this line' || chr(10) ||
+        |    'Tiny line.' || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to view this content.' ELSE '' END || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.' ELSE '' END || chr(10) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'var cfg = {enabled: true};' ELSE '' END AS page
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM pages),
+        |keptl AS (
+        |  SELECT doc_id, page, ls,
+        |    list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kl
+        |  FROM lines),
+        |sent AS (
+        |  SELECT doc_id, page, ls, kl,
+        |    CAST(coalesce(list_sum(list_transform(kl, l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS BIGINT) AS n_sentences
+        |  FROM keptl)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kl) AS BIGINT) AS n_kept_lines,
+        |  n_sentences,
+        |  (NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+        |    AND n_sentences >= 5) AS keep_page,
+        |  array_to_string(kl, chr(10)) AS cleaned
+        |FROM sent""".stripMargin,
 
     "m_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

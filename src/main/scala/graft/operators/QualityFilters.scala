@@ -138,6 +138,38 @@ object QualityFilters {
         okAlpha && okStops).as("keep"))
   }
 
+  // ---- C4 line/page cleaning (Raffel et al. 2020 §2.2) -------------------
+
+  /** C4's per-line retention rule: a line survives iff it ends in a
+    * terminal punctuation mark (period / exclamation / question / closing
+    * quote), carries at least 3 words, and does not mention "javascript"
+    * (the browser-requirement boilerplate rule). */
+  def c4LineKeep(l: Column): Column =
+    rtrim(l).rlike("[.!?\"]$") &&
+      size(filter(split(l, "\\s+"), w => w =!= "")) >= 3 &&
+      !contains(lower(l), lit("javascript"))
+
+  /** C4's page gate over a newline-joined page: drop pages mentioning
+    * "lorem ipsum" or containing a curly brace (code), and keep only pages
+    * whose retained lines carry at least 5 sentences (terminal marks).
+    * Returns counters + the cleaned page (retained lines re-joined) — all
+    * pure column expressions, whole-stage codegen, no shuffle. */
+  def c4Clean(page: Column): Column = {
+    val p = coalesce(page, lit(""))
+    val ls = split(p, "\n")
+    val kept = filter(ls, c4LineKeep(_))
+    val sentences = aggregate(kept, lit(0L),
+      (acc, l) => acc + regexp_count(l, lit("[.!?]")).cast("long"))
+    val keepPage = !contains(lower(p), lit("lorem ipsum")) &&
+      !contains(p, lit("{")) && sentences >= 5L
+    struct(
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      sentences.as("n_sentences"),
+      keepPage.as("keep_page"),
+      concat_ws("\n", kept).as("cleaned"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -82,4 +82,71 @@ class QualityFiltersSpec extends SparkTestBase {
     val none = row("v1.2.3.4beta", QualityFilters.piiCounts(col("t")))
     assert(none.getAs[Long]("n_ips") == 0L)
   }
+
+  test("c4 line rule: terminal punctuation, 3 words, javascript") {
+    val keep = Seq(
+      "This line is fine.", // period, 4 words
+      "Is this a question?", // question mark
+      "He said \"stop\" and then \"go.\"", // closing quote counts
+      "Three words suffice!  " // trailing whitespace rtrimmed
+    ).toDF("t").select(QualityFilters.c4LineKeep(col("t")).as("k"))
+      .as[Boolean].collect()
+    assert(keep.forall(identity))
+    val drop = Seq(
+      "no terminal punctuation here", // rule 1
+      "Too short.", // 2 words — rule 2
+      "Please enable javascript in your Browser.", // rule 3 (case-insensitive)
+      "", // empty
+      "JavaScript is required here." // mixed case still matches
+    ).toDF("t").select(QualityFilters.c4LineKeep(col("t")).as("k"))
+      .as[Boolean].collect()
+    assert(drop.forall(!_))
+  }
+
+  test("c4 page gate: lorem ipsum, curly brace, five sentences") {
+    def page(ls: String*): Row =
+      row(ls.mkString("\n"), QualityFilters.c4Clean(col("t")))
+
+    // 5 kept sentences across 2 kept lines + 2 dropped lines
+    val good = page(
+      "One good sentence here. And another one follows! A third?",
+      "dropped: no terminal punct",
+      "Js.", // dropped: 1 word
+      "Sentence four is long enough. Sentence five closes it out.")
+    assert(good.getAs[Long]("n_lines") == 4L)
+    assert(good.getAs[Long]("n_kept_lines") == 2L)
+    assert(good.getAs[Long]("n_sentences") == 5L)
+    assert(good.getAs[Boolean]("keep_page"))
+    assert(good.getAs[String]("cleaned") ==
+      "One good sentence here. And another one follows! A third?\n" +
+        "Sentence four is long enough. Sentence five closes it out.")
+
+    // sentences on DROPPED lines must not count toward the page gate
+    val starved = page(
+      "only four sentences kept. two here! three? and four.",
+      "unterminated line with lots. of! punctuation? inside")
+    assert(starved.getAs[Long]("n_sentences") == 4L)
+    assert(!starved.getAs[Boolean]("keep_page"))
+
+    // lorem ipsum anywhere (any case) kills the page even with 5 sentences
+    val lorem = page(
+      "One good sentence here. And another one follows! A third?",
+      "Lorem Ipsum dolor sit amet. Filler text continues on.")
+    assert(lorem.getAs[Long]("n_sentences") >= 5L)
+    assert(!lorem.getAs[Boolean]("keep_page"))
+
+    // a curly brace anywhere kills the page, even on a dropped line
+    val code = page(
+      "One good sentence here. And another one follows! A third?",
+      "Sentence four is long enough. Sentence five closes it out.",
+      "if (x) { y++ }")
+    assert(code.getAs[Long]("n_sentences") == 5L)
+    assert(!code.getAs[Boolean]("keep_page"))
+
+    // null page behaves as empty: nothing kept, page dropped
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(QualityFilters.c4Clean(col("t")).as("v")).collect()(0).getStruct(0)
+    assert(nul.getAs[Long]("n_kept_lines") == 0L)
+    assert(!nul.getAs[Boolean]("keep_page"))
+  }
 }
