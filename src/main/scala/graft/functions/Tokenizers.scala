@@ -133,13 +133,33 @@ object Tokenizers {
       s"(?<=$hira)(でした|ました|ません|です|ます|ない|たい)(?=\\s|$$)", " $1")
   }
 
-  /** Korean: eojeol (whitespace) units with one trailing case particle
-    * (josa) detached via a small embedded lexicon — the dictionary-free
-    * slice of Lindera ko-dic morphology (multilang.rs Korean arm). */
-  def korSegment(body: Column): Column =
-    regexp_replace(body,
+  /** Korean: ko-dic-shaped morpheme boundaries (multilang.rs:54-62 Korean
+    * arm) in three stages. (1) [[KorLexicon.rewrites]] un-fuses the
+    * conjugated syllable of in-slice vowel-final stems (합니다→하ㅂ니다,
+    * 일본입니다→일본이ㅂ니다, 갔→가았) via real syllable arithmetic.
+    * (2) Generic boundary rules — no lexicon needed — cut the whole-
+    * syllable endings every stem shares: the detached-jamo heads (ㅂ니다,
+    * ㄴ), past 았/었, formal 습니다/습니까, honorific 세요/십니다, polite
+    * 어요/아요, and the light-verb stems 하/되 ahead of an already-cut
+    * ending (안녕하세요→안녕 하 세요, the reference's own golden shape:
+    * 일본입니다 → 일본/이/ㅂ니다). (3) One trailing case particle (josa)
+    * detached per eojeol. Remaining divergence vs full ko-dic: fused
+    * syllables of out-of-slice vowel stems stay whole. */
+  def korSegment(body: Column): Column = {
+    val han = "[가-힣]"
+    val unfused = KorLexicon.rewrites.foldLeft(body) {
+      case (c, (pattern, repl)) => regexp_replace(c, pattern, repl)
+    }
+    val jamoCut = regexp_replace(unfused, s"(?<=$han)(?=[ㄴㅂㄹ])", " ")
+    val pastCut = regexp_replace(jamoCut, s"(?<=$han)(았|었)(?=$han|\\s|$$)", " $1 ")
+    val endings = regexp_replace(pastCut,
+      s"(?<=$han)(습니다|습니까|십니다|세요|어요|아요)(?=\\s|$$|[^가-힣])", " $1")
+    val lightVerb = regexp_replace(endings,
+      s"(?<=$han)(하|되)(?= (?:ㅂ니|았|었|세요|십니))", " $1")
+    regexp_replace(lightVerb,
       "(?<=\\p{IsHangul})(에서|에게|으로|부터|까지|처럼|보다|한테|은|는|이|가|을|를|에|의|도|만|와|과|로)(?=\\s|$)",
       " $1")
+  }
 
   /** multilang: per-value language detection (or an explicit `ENG:`/`CMN:`/
     * `JPN:`/`KOR:` prefix override) dispatching to a per-language analyzer

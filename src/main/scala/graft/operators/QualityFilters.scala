@@ -138,6 +138,110 @@ object QualityFilters {
         okAlpha && okStops).as("keep"))
   }
 
+  // ---- full n-gram repetition family (Gopher A.1.1) ----------------------
+
+  /** Word n-grams ("w1 … wn" strings) of a word array; empty below n words. */
+  def ngramsOf(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + 1 + k)): _*)))
+
+  /** Gopher A.1.1's published repetition thresholds: a doc is dropped when
+    * the metric EXCEEDS the bound (Rae et al. 2021 table A1). */
+  val TopNGramMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupNGramMax: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Grams of a sorted gram array that occur ≥2 times: one fold counting
+    * equal-neighbor runs, appending each gram the moment its run hits 2. */
+  private def duplicatedGrams(gs: Column): Column = aggregate(
+    array_sort(gs),
+    struct(lit("").as("prev"), lit(0L).as("run"),
+      array().cast("array<string>").as("d")),
+    (st, g) => {
+      val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+        .otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        when(run === 2L, array_append(st.getField("d"), g))
+          .otherwise(st.getField("d")).as("d"))
+    },
+    st => st.getField("d"))
+
+  /** The FULL Gopher A.1.1 n-gram repetition family (the line-level signals
+    * live in [[duplicateLineFraction]]/[[duplicateLineCharFraction]]):
+    * top-{2,3,4}-gram char fraction (occurrences × gram word chars of the
+    * heaviest n-gram) and duplicated-{5..10}-gram char fraction (characters
+    * of words covered by ANY occurrence of an n-gram that appears ≥2 times
+    * — overlapping occurrences counted ONCE via an interval-merge fold over
+    * the sorted duplicate start positions, the "careful not to
+    * double-count" clause of A.1.1). All fractions are over total word
+    * characters; a gram's word chars are strlen − (n−1) joiner spaces.
+    *
+    * Shaped as a DataFrame transform, not a scalar Column: the word and
+    * gram arrays are bound as columns so each is computed ONCE per row —
+    * inlining them into the higher-order lambdas would re-evaluate the
+    * whole split/gram subtree per element (O(words²·n²) interpreted, a
+    * measured hang at 500-word docs). Still per-row and shuffle-free at
+    * any scale. Output: input columns + the 9 fractions + `keep`. */
+  def ngramRepetition(df: DataFrame, docId: String, text: Column): DataFrame = {
+    val nsTop = Seq(2, 3, 4)
+    val nsDup = 5 to 10
+    var cur = df.select(col(docId), words(text).as("_ws"))
+      .withColumn("_tot",
+        aggregate(col("_ws"), lit(0L), (a, w) => a + length(w).cast("long")))
+    for (n <- nsTop ++ nsDup)
+      cur = cur.withColumn(s"_g$n", ngramsOf(col("_ws"), n))
+    for (n <- nsDup)
+      cur = cur.withColumn(s"_d$n", duplicatedGrams(col(s"_g$n")))
+    val totD = col("_tot").cast("double")
+
+    // top-n: one fold over the sorted grams, max(run × gram word chars).
+    def topFrac(n: Int): Column = {
+      val best = aggregate(
+        array_sort(col(s"_g$n")),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, g) => {
+          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(st.getField("best"),
+              run * (length(g).cast("long") - (n - 1))).as("best"))
+        },
+        st => st.getField("best"))
+      when(col("_tot") === 0L, 0.0).otherwise(best.cast("double") / totD)
+    }
+
+    // dup-n: duplicate start positions ascend, so each start i contributes
+    // the word chars of indexes [max(i, end+1), i+n-1] — an interval merge
+    // that counts every covered word exactly once.
+    def dupFrac(n: Int): Column = {
+      val gs = col(s"_g$n")
+      val starts = filter(sequence(lit(0), size(gs) - 1),
+        i => array_contains(col(s"_d$n"), element_at(gs, i + 1)))
+      val covered = aggregate(
+        starts,
+        struct(lit(-1).as("end"), lit(0L).as("sum")),
+        (st, i) => {
+          val from = greatest(i, st.getField("end") + 1)
+          val add = aggregate(slice(col("_ws"), from + 1, i + lit(n) - from),
+            lit(0L), (a, w) => a + length(w).cast("long"))
+          struct((i + lit(n - 1)).as("end"), (st.getField("sum") + add).as("sum"))
+        },
+        st => st.getField("sum"))
+      when(size(gs) === 0, 0.0).otherwise(covered.cast("double") / totD)
+    }
+
+    val tops = nsTop.map(n => n -> topFrac(n))
+    val dups = nsDup.map(n => n -> dupFrac(n))
+    val fracCols =
+      tops.map { case (n, f) => f.as(s"top${n}_gram_frac") } ++
+        dups.map { case (n, f) => f.as(s"dup${n}_gram_frac") }
+    val keep =
+      (tops.map { case (n, f) => f <= TopNGramMax(n) } ++
+        dups.map { case (n, f) => f <= DupNGramMax(n) }).reduce(_ && _)
+    cur.select(col(docId) +: (fracCols :+ keep.as("keep")): _*)
+  }
+
   // ---- C4 line/page cleaning (Raffel et al. 2020 §2.2) -------------------
 
   /** C4's per-line retention rule: a line survives iff it ends in a

@@ -151,16 +151,36 @@ class TokenizersSpec extends SparkTestBase {
       Seq("物語", "を", "紡", "ぎ", "ます"))
   }
 
-  test("multilang KOR: eojeol units with trailing josa detached") {
-    // 나/는 학교/에 갑니다 — case particles split off, verb stays whole
+  test("multilang KOR: ko-dic slice morpheme boundaries") {
+    // the reference's own golden sentence (multilang.rs:276-284, Lindera/
+    // ko-dic yields 11 tokens incl. two periods; ours drops punctuation):
+    // 일본/이/ㅂ니다 — the copula's fused 입 un-fuses, first token 일본
+    // matching the reference's assert_eq!(token.text, "일본")
+    assert(evalTokens("KOR:일본입니다. 매우 멋진 단어입니다.", Tokenizers.multilang) ===
+      Seq("일본", "이", "ㅂ니다", "매우", "멋지", "ㄴ", "단어", "이", "ㅂ니다"))
+    // 가+ㅂ니다 un-fused via syllable arithmetic; josa split off
     assert(evalTokens("KOR:나는 학교에 갑니다", Tokenizers.multilang) ===
-      Seq("나", "는", "학교", "에", "갑니다"))
-    // longest-match josa (에서 before 에); bare eojeol without josa intact
+      Seq("나", "는", "학교", "에", "가", "ㅂ니다"))
+    // longest-match josa (에서 before 에); polite 어요 is a generic ending
     assert(evalTokens("KOR:도서관에서 책을 읽어요", Tokenizers.multilang) ===
-      Seq("도서관", "에서", "책", "을", "읽어요"))
-    // auto-detected (no prefix): hangul script decides
+      Seq("도서관", "에서", "책", "을", "읽", "어요"))
+    // light verb 하 detaches ahead of an already-cut ending
     assert(evalTokens("안녕하세요 세계", Tokenizers.multilang) ===
-      Seq("안녕하세요", "세계"))
+      Seq("안녕", "하", "세요", "세계"))
+    // past-tense contraction reversed: 갔→가+았, 했→하+았, 됐→되+었
+    assert(evalTokens("KOR:어제 집에 갔습니다", Tokenizers.multilang) ===
+      Seq("어제", "집", "에", "가", "았", "습니다"))
+    assert(evalTokens("KOR:공부했습니다", Tokenizers.multilang) ===
+      Seq("공부", "하", "았", "습니다"))
+    // ㅡ-deletion harmony follows the preceding syllable: 바쁘+았→바빴
+    assert(evalTokens("KOR:바빴습니다", Tokenizers.multilang) ===
+      Seq("바쁘", "았", "습니다"))
+    // consonant-final stems need no lexicon: generic 었 boundary
+    assert(evalTokens("KOR:밥을 먹었습니다", Tokenizers.multilang) ===
+      Seq("밥", "을", "먹", "었", "습니다"))
+    // out-of-slice fused syllables stay whole (documented divergence)
+    assert(evalTokens("KOR:꿈을 꿉니다", Tokenizers.multilang) ===
+      Seq("꿈", "을", "꿉니다"))
   }
 
   test("byName resolves every registered tokenizer") {

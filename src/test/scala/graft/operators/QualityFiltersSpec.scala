@@ -83,6 +83,48 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(none.getAs[Long]("n_ips") == 0L)
   }
 
+  private def ngramRow(text: String): Row =
+    QualityFilters.ngramRepetition(
+      Seq((0L, text)).toDF("id", "t"), "id", col("t")).collect()(0)
+
+  test("ngram repetition: top-n fractions count word chars times runs") {
+    // "a b a b": tot word chars 4. 2-grams (a b, b a, a b): top run 2 of
+    // "a b" × 2 word chars = 4 → 1.0. 3-grams each once, 3 word chars each
+    // → 0.75. The single 4-gram covers all 4 word chars → 1.0.
+    val r = ngramRow("a b a b")
+    assert(r.getAs[Double]("top2_gram_frac") == 1.0)
+    assert(r.getAs[Double]("top3_gram_frac") == 0.75)
+    assert(r.getAs[Double]("top4_gram_frac") == 1.0)
+    // below-n docs and empty docs are 0.0, never NaN
+    val short = ngramRow("solo")
+    assert(short.getAs[Double]("top2_gram_frac") == 0.0)
+    val empty = ngramRow("")
+    assert(empty.getAs[Double]("top2_gram_frac") == 0.0)
+    assert(empty.getAs[Double]("dup5_gram_frac") == 0.0)
+  }
+
+  test("ngram repetition: duplicated n-gram coverage unions overlaps") {
+    // 6-word phrase twice: every word sits under a duplicated 5- and
+    // 6-gram occurrence → dup5 = dup6 = 1.0; no 7-gram repeats → 0.0.
+    val twice = ngramRow("one two three four five six one two three four five six")
+    assert(twice.getAs[Double]("dup5_gram_frac") == 1.0)
+    assert(twice.getAs[Double]("dup6_gram_frac") == 1.0)
+    assert(twice.getAs[Double]("dup7_gram_frac") == 0.0)
+    assert(!twice.getAs[Boolean]("keep")) // dup5 1.0 > 0.15
+
+    // heavy self-overlap: "a b" × 4 → the two distinct 5-grams each repeat;
+    // interval-merging covers all 8 words EXACTLY once → 1.0 (double-
+    // counting occurrences would claim 20/8 = 2.5)
+    val overlap = ngramRow("a b a b a b a b")
+    assert(overlap.getAs[Double]("dup5_gram_frac") == 1.0)
+
+    // a single repeated 5-gram embedded mid-doc covers only its own words:
+    // "p q r s t" occurs at positions 6 and 14 of 25 one-char words →
+    // covered = 10 of 25 word chars
+    val mid = ngramRow("u v w x y z p q r s t m n o p q r s t c d e f g h")
+    assert(mid.getAs[Double]("dup5_gram_frac") == 10.0 / 25.0)
+  }
+
   test("c4 line rule: terminal punctuation, 3 words, javascript") {
     val keep = Seq(
       "This line is fine.", // period, 4 words
