@@ -39,6 +39,59 @@ object SparkEntry {
     when(pmod(docId, lit(11)) === 0,
       lit("var cfg = {enabled: true};")).otherwise(lit("")))
 
+  /** 9-word phrase appended doc_id%4 times by `x_dup_ngrams` so that 2+
+    * repeats create genuine duplicated 5..9-grams (one repeat creates none:
+    * grams spanning the text/phrase seam occur once). */
+  private val DupNgramPhrase = "the quick brown fox jumps over the lazy dog"
+
+  /** Output field order of [[graft.operators.QualityFilters.ngramRepetition]]
+    * fractions, shared by the `x_dup_ngrams` query and its oracle. */
+  private val DupNgramFracs: Seq[String] =
+    Seq(2, 3, 4).map(n => s"top${n}_gram_frac") ++
+      (5 to 10).map(n => s"dup${n}_gram_frac")
+
+  /** DuckDB mirror of the full Gopher A.1.1 n-gram family — generated, one
+    * arm per n, same union-of-covered-word-positions semantics. */
+  private def dupNgramsOracleSql: String = {
+    def grams(n: Int) =
+      s"CASE WHEN w >= $n THEN list_transform(range(w - ${n - 1}), " +
+        s"i -> array_to_string(ws[i+1:i+$n], ' ')) " +
+        s"ELSE CAST([] AS VARCHAR[]) END AS g$n"
+    def dups(n: Int) =
+      s"list_filter(list_distinct(g$n), x -> len(list_filter(g$n, y -> y = x)) >= 2) AS d$n"
+    def topF(n: Int) =
+      s"CASE WHEN tot = 0 THEN 0.0 ELSE CAST(coalesce(list_max(list_transform(" +
+        s"list_distinct(g$n), x -> len(list_filter(g$n, y -> y = x)) * (strlen(x) - ${n - 1})" +
+        s")), 0) AS DOUBLE) / tot END AS t$n"
+    def dupF(n: Int) =
+      s"CASE WHEN len(g$n) = 0 THEN 0.0 ELSE CAST(coalesce(list_sum(list_transform(range(w), " +
+        s"j -> CASE WHEN len(list_filter(range(greatest(0, j - ${n - 1}), least(j, w - $n) + 1), " +
+        s"i -> list_contains(d$n, g$n[i+1]))) > 0 THEN strlen(ws[j+1]) ELSE 0 END)), 0) " +
+        s"AS DOUBLE) / tot END AS f$n"
+    val thresholds = Seq(2 -> "t2 <= CAST(0.20 AS DOUBLE)", 3 -> "t3 <= CAST(0.18 AS DOUBLE)",
+      4 -> "t4 <= CAST(0.16 AS DOUBLE)", 5 -> "f5 <= CAST(0.15 AS DOUBLE)",
+      6 -> "f6 <= CAST(0.14 AS DOUBLE)", 7 -> "f7 <= CAST(0.13 AS DOUBLE)",
+      8 -> "f8 <= CAST(0.12 AS DOUBLE)", 9 -> "f9 <= CAST(0.11 AS DOUBLE)",
+      10 -> "f10 <= CAST(0.10 AS DOUBLE)").map(_._2).mkString(" AND ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(
+       |    text || ' ' || repeat('$DupNgramPhrase ', CAST(doc_id % 4 AS INT)),
+       |    '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, ws, len(ws) AS w,
+       |  coalesce(list_sum(list_transform(ws, x -> strlen(x))), 0) AS tot FROM base),
+       |g AS (SELECT *, ${(2 to 10).map(grams).mkString(",\n  ")} FROM s1),
+       |dd AS (SELECT *, ${(5 to 10).map(dups).mkString(",\n  ")} FROM g),
+       |m AS (SELECT doc_id, tot, w, ws,
+       |  ${Seq(2, 3, 4).map(topF).mkString(",\n  ")},
+       |  ${(5 to 10).map(dupF).mkString(",\n  ")} FROM dd)
+       |SELECT doc_id,
+       |  ${Seq(2, 3, 4).map(n => s"round(t$n, 4) AS top${n}_gram_frac").mkString(", ")},
+       |  ${(5 to 10).map(n => s"round(f$n, 4) AS dup${n}_gram_frac").mkString(", ")},
+       |  ($thresholds) AS keep
+       |FROM m""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // transcripts: the BASELINE input shape (conv_id, turn_idx, role, text,
   // tool, ts), derived DETERMINISTICALLY from the driver's `events` table so
@@ -916,6 +969,20 @@ object SparkEntry {
     "x_top_bigram" -> ((s, d) =>
       QualityFilters.topBigramCover(t(s, d, "documents"), "doc_id", "text")),
 
+    // FULL Gopher A.1.1 n-gram repetition family: top-{2,3,4}-gram char
+    // fraction + duplicated-{5..10}-gram char coverage with overlapping
+    // occurrences union-merged (never double-counted). A deterministic
+    // 9-word phrase is appended doc_id%4 times so 2+ repeats create real
+    // duplicated 5..9-grams for the oracle to verify the union logic on.
+    // Pure per-row column exprs — zero shuffle at any scale.
+    "x_dup_ngrams" -> ((s, d) => {
+      val rep = concat_ws(" ", col("text"), rtrim(repeat(
+        lit(DupNgramPhrase + " "), pmod(col("doc_id"), lit(4)).cast("int"))))
+      QualityFilters.ngramRepetition(t(s, d, "documents"), "doc_id", rep)
+        .select(col("doc_id") +:
+          (DupNgramFracs.map(f => round(col(f), 4).as(f)) :+ col("keep")): _*)
+    }),
+
     // PII redaction over documents with DETERMINISTICALLY injected PII
     // (the oracle re-injects the identical strings): emails, then IPv4s,
     // then phone-shaped runs, with typed tags.
@@ -952,6 +1019,34 @@ object SparkEntry {
         r.getField("n_sentences").as("n_sentences"),
         r.getField("keep_page").as("keep_page"),
         r.getField("cleaned").as("cleaned"))
+    }),
+
+    // C4-style URL/domain blocklist filtering: URLs are injected
+    // deterministically (every 7th doc an ad tracker, every 11th a docs
+    // link), extracted by regex, and the HOST is checked against a
+    // blocklist via a BROADCAST join — the shape a real million-domain
+    // blocklist takes at 100 TB (blocklist broadcast, text never
+    // shuffles; the per-doc rollup is one partial-agg shuffle of
+    // (doc_id, counts)).
+    "x_url_blocklist" -> ((s, d) => {
+      val injected = t(s, d, "documents").withColumn("text2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" visit http://ads"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".example.com/track?id="), col("doc_id").cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" docs at https://docs"), pmod(col("doc_id"), lit(30)).cast("string"),
+            lit(".example.org/guide"))).otherwise(lit(""))))
+      val urls = regexp_extract_all(col("text2"), lit("https?://[A-Za-z0-9.-]+[^\\s]*"), lit(0))
+      val ex = injected.select(col("doc_id"), explode_outer(urls).as("url"))
+        .withColumn("host", regexp_extract(col("url"), "^https?://([A-Za-z0-9.-]+)", 1))
+      // even-numbered ad hosts are blocked (deterministic oracle twin)
+      val block = s.range(0, 50).filter(pmod(col("id"), lit(2)) === 0)
+        .select(concat(lit("ads"), col("id").cast("string"), lit(".example.com")).as("bhost"))
+      ex.join(broadcast(block), ex("host") === block("bhost"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("url")).as("n_urls"),
+          count(col("bhost")).as("n_blocked"))
+        .withColumn("keep", col("n_blocked") === 0L)
     }),
 
     // Benchmark decontamination (Decontaminate.contamination): flag docs
@@ -3201,6 +3296,26 @@ object SparkEntry {
         |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
         |SELECT doc_id, CAST(max(cnt * strlen(gram)) AS BIGINT) AS covered_chars, n_chars
         |FROM c GROUP BY doc_id, n_chars""".stripMargin,
+
+    "x_dup_ngrams" -> dupNgramsOracleSql,
+
+    "x_url_blocklist" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' visit http://ads' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/track?id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' docs at https://docs' || CAST(doc_id % 30 AS VARCHAR) || '.example.org/guide' ELSE '' END AS text2
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text2, 'https?://[A-Za-z0-9.-]+[^\s]*')) AS url FROM inj),
+        |h AS (SELECT doc_id, url, regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS host FROM u),
+        |b AS (SELECT 'ads' || CAST(i AS VARCHAR) || '.example.com' AS bhost FROM range(0, 50, 2) t(i)),
+        |agg AS (
+        |  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_urls,
+        |         CAST(count(b.bhost) AS BIGINT) AS n_blocked
+        |  FROM h LEFT JOIN b ON h.host = b.bhost GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_urls, 0) AS n_urls,
+        |  coalesce(a.n_blocked, 0) AS n_blocked,
+        |  coalesce(a.n_blocked, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     "x_decontaminate" ->
       """WITH w AS (
