@@ -427,6 +427,39 @@ object SparkEntry {
         .toDF("ledger_docs", "error_rows", "dead_rows", "resume_ok")
     }),
 
+    // Streaming exact dedup across a restart: wave 0 streams (one run),
+    // wave 1 appends and streams under the SAME checkpoint — fingerprints
+    // first seen in wave 0 stay suppressed in wave 1 because the dedup
+    // state survives in the checkpoint. The fingerprint is deliberately
+    // coarse (role + text-length bucket) so collisions are guaranteed and
+    // DuckDB can recompute it; the emitted row's wave must equal the MIN
+    // wave its fingerprint occurs in (wave 0 is fully processed first).
+    "pipe_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-streamdedup").toString
+      val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+      val tr = transcripts(s, d).filter(col("text").isNotNull)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts").cast("timestamp_ltz").as("ts"))
+      val wave = substring(col("conv_id"), 5, 20).cast("long") % 2
+      val fp = concat(col("role"), lit(":"),
+        (length(col("text")) % 50).cast("string"))
+      tr.filter(wave === 0L).coalesce(2).write.mode("append").parquet(in)
+      graft.streaming.StreamingPipeline.streamingDedup(s, in, out, cp,
+        fp, Seq("conv_id")).awaitTermination()
+      tr.filter(wave === 1L).coalesce(2).write.mode("append").parquet(in)
+      graft.streaming.StreamingPipeline.streamingDedup(s, in, out, cp,
+        fp, Seq("conv_id")).awaitTermination()
+      val emitted = s.read.parquet(out)
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_emitted"),
+          min(substring(col("conv_id"), 5, 20).cast("long") % 2).as("wave_emitted"))
+      val sourceDups = tr.withColumn("fp", fp)
+        .groupBy("fp").agg(count(lit(1)).as("n_dups"))
+      emitted.join(sourceDups, Seq("fp"))
+        .select("fp", "n_emitted", "wave_emitted", "n_dups")
+    }),
+
     "p_vrl_transform" -> ((s, d) =>
       // VRL-shaped source transform (P5/U2), the doc_processor pre-mapping
       // hook — compiled to codegen'd Columns by graft.parse.Vrl
@@ -2218,6 +2251,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dead_rows,
         |  TRUE AS resume_ok
         |FROM transcripts""".stripMargin),
+
+    "pipe_stream_dedup" -> (TranscriptsCte +
+      """, tr AS (
+        |  SELECT *, CAST(substr(conv_id, 5) AS BIGINT) % 2 AS wave,
+        |    role || ':' || CAST(strlen(text) % 50 AS VARCHAR) AS fp
+        |  FROM transcripts WHERE text IS NOT NULL)
+        |SELECT fp, CAST(1 AS BIGINT) AS n_emitted,
+        |  CAST(min(wave) AS BIGINT) AS wave_emitted,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM tr GROUP BY fp""".stripMargin),
 
     "pipe_rollup" -> (TranscriptsCte +
       """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

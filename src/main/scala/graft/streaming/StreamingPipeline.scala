@@ -116,6 +116,39 @@ object StreamingPipeline {
     } finally routed.unpersist()
   }
 
+  /** Streaming exact dedup at ingest — the streaming twin of the batch
+    * `Dedup.exactDuplicates` stage, the shape an LLM ingest pipeline needs
+    * when duplicates must be dropped BEFORE they ever land: first-seen rows
+    * pass through in append mode, later arrivals with the same fingerprint
+    * are suppressed, and `dropDuplicatesWithinWatermark` bounds the
+    * fingerprint state by the event-time watermark instead of growing
+    * forever — the property that keeps this runnable on an unbounded
+    * stream (a plain streaming dropDuplicates pins every key in state for
+    * the life of the job). Dedup state lives in the checkpoint, so a
+    * restarted job keeps suppressing duplicates of rows emitted before the
+    * crash. `key` is any deterministic fingerprint expression over the
+    * transcript columns; `carry` columns ride along with it to the sink. */
+  def streamingDedup(spark: SparkSession, inputDir: String, outDir: String,
+                     checkpointDir: String, key: org.apache.spark.sql.Column,
+                     carry: Seq[String], watermark: String = "8760 hours"): StreamingQuery = {
+    val stream = spark.readStream.schema(transcriptSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(inputDir)
+    stream
+      .withColumn("fp", key)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(("fp" +: carry).map(col): _*)
+      .writeStream
+      .queryName("graft-stream-dedup")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Streaming per-conversation rollup with event-time windows + watermark —
     * the one place the Spark build goes beyond the reference (which has no
     * watermarks, §2.9 T4): bounded state for an unbounded stream. Append

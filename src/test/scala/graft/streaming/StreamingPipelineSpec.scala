@@ -121,6 +121,34 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(snap.get.checkpoint("stream") >= 1L)
   }
 
+  test("streaming dedup: first-seen emits, later duplicates suppressed across restart") {
+    val in = tmpDir("dedup_in"); val out = tmpDir("dedup_out"); val cp = tmpDir("dedup_cp")
+    // coarse fingerprint guarantees collisions inside AND across waves
+    val fp = concat(col("role"), lit(":"), (length(col("text")) % 10).cast("string"))
+
+    writeBatch(in, seed = 11L, convs = 30)
+    StreamingPipeline.streamingDedup(spark, in, out, cp, fp, Seq("conv_id", "text"))
+      .awaitTermination()
+    val wave0 = spark.read.parquet(out).collect()
+    val wave0Fps = wave0.map(_.getAs[String]("fp")).toSeq
+    assert(wave0Fps.distinct.size === wave0Fps.size) // one emission per fp
+    // null-text rows carry a null fingerprint — one state slot like any key
+    val source0 = spark.read.parquet(in).select(fp.as("fp")).distinct().count()
+    assert(wave0Fps.size.toLong === source0) // every distinct fp emitted once
+
+    // wave 1 restarts from the checkpoint: fingerprints already emitted in
+    // wave 0 must stay suppressed — only genuinely new fps appear
+    writeBatch(in, seed = 12L, convs = 30)
+    StreamingPipeline.streamingDedup(spark, in, out, cp, fp, Seq("conv_id", "text"))
+      .awaitTermination()
+    val all = spark.read.parquet(out).collect()
+    val allFps = all.map(_.getAs[String]("fp")).toSeq
+    assert(allFps.distinct.size === allFps.size) // still exactly one per fp
+    val sourceAll = spark.read.parquet(in).select(fp.as("fp")).distinct().count()
+    assert(allFps.size.toLong === sourceAll)
+    assert(all.length > wave0.length) // wave 1 did contribute new fps
+  }
+
   test("windowed rollup emits closed windows with stable turn order") {
     val in = tmpDir("stream_in3"); val out = tmpDir("stream_out3"); val cp = tmpDir("stream_cp3")
     writeBatch(in, seed = 4L, convs = 30)
