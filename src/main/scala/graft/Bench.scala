@@ -83,11 +83,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
+      // Streaming queries are excluded from the rep protocol: their cost is
+      // fixed micro-batch machinery (checkpoint dirs + full restarts), not
+      // AQE plan nondeterminism, and each rep re-runs entire streaming jobs.
       val time =
-        if (first < HeavyThresholdSec) first
+        if (first < HeavyThresholdSec || name.startsWith("pipe_stream")) first
         else {
-          val all = (first +: Seq.fill(HeavyReps - 1)(once())).sorted
-          all(all.length / 2)
+          val all = first +: Seq.fill(HeavyReps - 1)(once())
+          // a failed rep is a failure, not a sample — never median it away
+          if (all.exists(_ < 0)) -1.0
+          else { val sorted = all.sorted; sorted(sorted.length / 2) }
         }
       name -> time
     }

@@ -15,7 +15,8 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("s_scan_project", "pipe_route_agg", "j_enrich", "a_terms",
         "a_terms_distributed", "k_topk", "d_minhash_lsh", "d_dup_clusters",
-        "sim_ann_brute", "m_merge_execute", "m_delete_execute", "p_otlp_proto")
+        "sim_ann_brute", "m_merge_execute", "m_delete_execute", "p_otlp_proto",
+        "x_curate_e2e")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

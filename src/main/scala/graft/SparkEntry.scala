@@ -1093,6 +1093,37 @@ object SparkEntry {
       Decontaminate.contamination(docs, "doc_id", "text", bench, "btext", 5)
     }),
 
+    // The composed training-data curation flagship: quality gate → prefix
+    // dedup (min-doc_id representative per leading 12-token prefix, the
+    // boilerplate-prefix dedup a crawl corpus runs) → benchmark 5-gram
+    // decontamination → per-source corpus stats, all ONE declarative plan.
+    // Catalyst pushes the gate into the scan, the dedup groupBy is the only
+    // wide shuffle (keyed by a short prefix, never full text), the
+    // benchmark grams stay broadcast, and both id-joins are left_semi on a
+    // long key — the shape a 100 TB curation run needs. Each stage reuses
+    // logic a standalone query already oracle-checks (x_quality_score,
+    // d_exact's min-id pattern, x_decontaminate, x_token_count); this query
+    // checks their COMPOSITION. (The gate is the score, not Gopher's keep:
+    // the synthetic corpus has no English stopwords, so Gopher's
+    // stopword rule — exercised standalone in x_gopher_quality — would
+    // zero the pipeline.)
+    "x_curate_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.35)
+      val pfx = concat_ws(" ", slice(QualityFilters.words(lower(col("text"))), 1, 12))
+      val reps = kept.groupBy(pfx.as("_pfx")).agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = kept.join(reps, Seq("doc_id"), "left_semi")
+      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(concat_ws(" ", slice(QualityFilters.words(col("text")), 1, 30)).as("btext"))
+      val clean = Decontaminate.contamination(deduped, "doc_id", "text", bench, "btext", 5)
+        .filter(!col("contaminated")).select("doc_id")
+      deduped.join(clean, Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("ws_tokens"))
+        .orderBy("source")
+    }),
+
     // GPT-style sequence packing (TrainingMix.packSequences): concatenated
     // token stream chunked at a 256-token budget, bucketed 8 ways so every
     // running-sum window is bounded by bucket size (never a global window).
@@ -3383,6 +3414,60 @@ object SparkEntry {
         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
         |  coalesce(hits.n, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""".stripMargin,
+
+    "x_curate_e2e" ->
+      """WITH qf AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+        |      ['der','die','das','und','ist','nicht','ein','mit','auf','zu',
+        |       'the','and','of','to','in','is','that','it','was','for',
+        |       'el','la','los','y','es','no','una','por','con','para',
+        |       'le','les','et','est','pas','une','pour','dans','que'])) AS DOUBLE) AS stop_hits,
+        |    CAST(strlen(text) AS DOUBLE) AS n_chars,
+        |    CAST(strlen(text) - strlen(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        |  FROM documents),
+        |qr AS (
+        |  SELECT doc_id, source, text, n_tok,
+        |    CASE WHEN n_tok > 0 THEN round(stop_hits / n_tok, 4) ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(punct / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(digits / n_chars, 4) ELSE 0.0 END AS digit_ratio
+        |  FROM qf),
+        |kept AS (
+        |  SELECT doc_id, source, text FROM qr
+        |  WHERE round(greatest(0.0, least(1.0,
+        |      least(n_tok / 100.0, 1.0) * 0.4
+        |    + least(stop_ratio * 4.0, 1.0) * 0.4
+        |    + (1.0 - greatest(punct_ratio, digit_ratio) * 2.0) * 0.2)), 4) >= 0.35),
+        |deduped AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY array_to_string(
+        |      (list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))[1:12], ' ')) AS rep
+        |    FROM kept) WHERE doc_id = rep),
+        |dg AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(lws) < 5 THEN []
+        |    ELSE list_transform(range(1, len(lws) - 3),
+        |      i -> lws[i] || ' ' || lws[i+1] || ' ' || lws[i+2] || ' ' || lws[i+3] || ' ' || lws[i+4]) END) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lws
+        |        FROM deduped)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(grams) AS gram
+        |  FROM (SELECT list_distinct(CASE WHEN len(bs) < 5 THEN []
+        |          ELSE list_transform(range(1, len(bs) - 3),
+        |            i -> bs[i] || ' ' || bs[i+1] || ' ' || bs[i+2] || ' ' || bs[i+3] || ' ' || bs[i+4]) END) AS grams
+        |        FROM (SELECT ws[1:30] AS bs
+        |              FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |                    FROM documents WHERE doc_id % 17 = 0)))),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM dg) t JOIN bg USING (gram))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens
+        |FROM deduped
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "x_shuffle_order" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -35,7 +35,7 @@ object KorLexicon {
   /** Adnominal (-ㄴ) surfaces are only generated for multi-syllable stems:
     * single-syllable ones (한, 간, 본…) collide with ordinary nouns. */
   private val adnominalStems =
-    vowelStems.filter(_.length > 1) ++ Seq.empty
+    vowelStems.filter(_.length > 1)
 
   private val SBase = 0xAC00
   private val JongN = 4 // ㄴ as jongseong index

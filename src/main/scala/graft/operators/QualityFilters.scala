@@ -182,7 +182,7 @@ object QualityFilters {
     * inlining them into the higher-order lambdas would re-evaluate the
     * whole split/gram subtree per element (O(words²·n²) interpreted, a
     * measured hang at 500-word docs). Still per-row and shuffle-free at
-    * any scale. Output: input columns + the 9 fractions + `keep`. */
+    * any scale. Output: `docId` + the 9 fractions + `keep`. */
   def ngramRepetition(df: DataFrame, docId: String, text: Column): DataFrame = {
     val nsTop = Seq(2, 3, 4)
     val nsDup = 5 to 10

@@ -150,8 +150,14 @@ final class IndexService(rootDir: String, spark: SparkSession) {
       .map(_.getFileName.toString).sorted
   }
 
+  // Memoized per index: TranscriptTable carries the leaf search cache, so a
+  // fresh instance per call would silently defeat replayed-window hits.
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.TranscriptTable]
+
   def table(indexId: String): graft.sources.TranscriptTable =
-    new graft.sources.TranscriptTable(indexDir(indexId), spark)
+    tables.getOrElseUpdate(indexId,
+      new graft.sources.TranscriptTable(indexDir(indexId), spark))
 
   def loadConfig(indexId: String): IndexConfig = {
     if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
@@ -202,6 +208,7 @@ final class IndexService(rootDir: String, spark: SparkSession) {
     if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
     val infos = splitInfos(indexId)
     if (dryRun) return infos
+    tables.remove(indexId) // a recreated index must not reuse stale caches
     deleteFiles(infos)
     // remove manifest snapshots, data dirs, config — bottom-up walk
     def rm(p: Path): Unit = {

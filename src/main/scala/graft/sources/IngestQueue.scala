@@ -59,6 +59,21 @@ final class IngestQueue(rootDir: String) {
     math.max(segments(queueId).lastOption.map(_._2 + 1).getOrElse(0L),
              positionFloor(queueId))
 
+  /** Replica bootstrap: advance an EMPTY queue's position floor so its next
+    * ingest is assigned `nextPosition` — positions are global per shard, so
+    * a replica opened mid-stream must take over the leader's numbering (the
+    * reference's replica stream starts from the replication checkpoint, not
+    * zero). Rejected on a non-empty queue or a rewind: positions are never
+    * reused. */
+  def alignFloor(queueId: String, nextPosition: Long): Unit = {
+    require(queueExists(queueId), s"queue $queueId does not exist")
+    require(segments(queueId).isEmpty,
+      s"cannot align the floor of non-empty queue $queueId")
+    require(nextPosition >= positionFloor(queueId),
+      s"position floor never rewinds: $queueId at ${positionFloor(queueId)}, asked $nextPosition")
+    writeFloor(queueId, nextPosition)
+  }
+
   /** Append a batch of docs; returns the (first, last) positions assigned.
     * Positions are contiguous and never reused, even across truncation. */
   def ingest(queueId: String, docs: Seq[String]): (Long, Long) = {

@@ -72,21 +72,27 @@ object Replication {
     }
 
     /** replicate (replication.rs:488-686): apply one batch per subrequest;
-      * per-shard failures report, they don't throw. */
+      * per-shard failures report, they don't throw. A position GAP on an
+      * open shard is a protocol violation (diverged replica), rejected for
+      * the WHOLE request — and validated up front, before any subrequest is
+      * applied, so a rejected request never leaves a partial batch behind. */
     def replicate(reqLeader: String, reqFollower: String, seqno: Long,
                   subrequests: Seq[(String, Long, Seq[String])]): ReplicateResponse =
       synchronized {
         checkRouting(reqLeader, reqFollower)
         checkSeqno(seqno)
+        subrequests.foreach { case (queueId, fromExclusive, _) =>
+          if (shards.get(queueId).contains(true))
+            require(positions(queueId) == fromExclusive,
+              s"replication gap on $queueId: at ${positions(queueId)}, batch from $fromExclusive")
+        }
         val successes = Seq.newBuilder[ReplicateSuccess]
         val failures = Seq.newBuilder[ReplicateFailure]
-        subrequests.foreach { case (queueId, fromExclusive, docs) =>
+        subrequests.foreach { case (queueId, _, docs) =>
           shards.get(queueId) match {
             case None => failures += ReplicateFailure(queueId, ShardNotFound)
             case Some(false) => failures += ReplicateFailure(queueId, ShardClosed)
             case Some(true) =>
-              require(positions(queueId) == fromExclusive,
-                s"replication gap on $queueId: at ${positions(queueId)}, batch from $fromExclusive")
               val (_, last) = wal.ingest(queueId, docs)
               positions += queueId -> last
               successes += ReplicateSuccess(queueId, last)
@@ -103,17 +109,36 @@ object Replication {
 
     def closeShard(queueId: String): Unit = synchronized { shards(queueId) = false }
 
-    /** Failover: the replica becomes a leader over its own WAL. Every
-      * position it holds was leader-acked (ack-after-quorum), so the
-      * promoted queue is contiguous with what clients observed. */
-    def promote(newFollower: Follower): Leader = synchronized {
-      val l = new Leader(wal, followerId, newFollower)
-      shards.keys.foreach(l.adoptShard)
-      l
+    /** Replica bootstrap during failover: open the replica queue with its
+      * position floor aligned to the promoted leader's WAL — positions are
+      * global per shard, so a replica opened mid-stream takes over the
+      * leader's numbering (the same way the reference's replica stream
+      * starts from the replication checkpoint, not from zero). */
+    private[Replication] def initReplicaAt(reqLeader: String, reqFollower: String,
+                                           seqno: Long, queueId: String,
+                                           nextPosition: Long): Unit = synchronized {
+      checkRouting(reqLeader, reqFollower)
+      checkSeqno(seqno)
+      wal.createQueue(queueId)
+      wal.alignFloor(queueId, nextPosition)
+      shards(queueId) = true
+      positions += queueId -> (wal.endPosition(queueId) - 1)
     }
 
-    private[Replication] def positionOf(queueId: String): Long =
-      synchronized(positions.getOrElse(queueId, -1L))
+    /** Failover: the replica becomes a leader over its own WAL. Every
+      * position it holds was leader-acked (ack-after-quorum), so the
+      * promoted queue is contiguous with what clients observed. Each shard
+      * is resynced onto `newFollower` (bootstrap + replay of the retained
+      * records), restoring replication factor 2 before the first
+      * post-failover persist; closed shards stay closed on the new replica. */
+    def promote(newFollower: Follower): Leader = synchronized {
+      val l = new Leader(wal, followerId, newFollower)
+      shards.toSeq.sortBy(_._1).foreach { case (queueId, open) =>
+        l.adoptShard(queueId)
+        if (!open) newFollower.closeShard(queueId)
+      }
+      l
+    }
   }
 
   /** The leader half: local persist + replicate + quorum ack. */
@@ -129,10 +154,19 @@ object Replication {
       shards += queueId
     }
 
-    /** A promoted leader adopts its existing replica queues without
-      * re-initializing them (they already hold the acked records). */
+    /** A promoted leader adopts an existing replica queue: its own WAL
+      * already holds the acked records; the NEW follower is bootstrapped at
+      * the retained floor and the retained records are replayed to it, so
+      * both nodes hold identical positions and subsequent persists
+      * replicate cleanly. */
     private[Replication] def adoptShard(queueId: String): Unit = synchronized {
       wal.createQueue(queueId)
+      val retained = wal.fetch(queueId, -1L, Int.MaxValue)
+      val floor = retained.headOption.map(_._1).getOrElse(wal.endPosition(queueId))
+      follower.initReplicaAt(leaderId, follower.followerId, seqno(), queueId, floor)
+      if (retained.nonEmpty)
+        follower.replicate(leaderId, follower.followerId, seqno(),
+          Seq((queueId, floor - 1, retained.map(_._2))))
       shards += queueId
     }
 

@@ -16,12 +16,16 @@ object Json {
   }
 
   /** Inverse of [[parse]]: render a parsed value back to JSON text (whole
-    * doubles print integrally, matching how they parsed). */
+    * doubles print integrally, matching how they parsed). NaN/Infinity have
+    * no JSON representation and render as `null` (the lossy-but-valid
+    * choice most lenient serializers make; a bare `NaN` token would make
+    * the output unparseable). */
   def render(v: Any): String = v match {
     case null       => "null"
     case b: Boolean => b.toString
     case d: Double  =>
-      if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString else d.toString
+      if (!java.lang.Double.isFinite(d)) "null"
+      else if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString else d.toString
     case n: Number  => n.toString
     case s: String  => "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -102,6 +102,71 @@ class ReplicationSpec extends AnyFunSuite {
     assert(promoted.ackedPosition("q2") === 0L)
   }
 
+  test("failover: promoted leader persists with replication factor restored") {
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    leader.persist("q", Seq("a", "b"))
+    val node3 = new Replication.Follower(wal(), "test-follower", "node-3")
+    val promoted = follower.promote(node3)
+    // resync replayed the acked records onto the NEW follower at the same
+    // positions, so the first post-failover persist acks through quorum
+    assert(node3.wal.fetch("q", -1L, 10) === Seq((0L, "a"), (1L, "b")))
+    assert(promoted.persist("q", Seq("c")) === 2L)
+    assert(node3.wal.fetch("q", -1L, 10).map(_._2) === Seq("a", "b", "c"))
+  }
+
+  test("failover after truncation: resync starts at the retained floor, not zero") {
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    leader.persist("q", Seq("a", "b")) // segment 0-1
+    leader.persist("q", Seq("c"))      // segment 2
+    leader.suggestTruncate("q", 1L)    // both nodes drop segment 0-1
+    val node3 = new Replication.Follower(wal(), "test-follower", "node-3")
+    val promoted = follower.promote(node3)
+    // only the retained record replays, at its ORIGINAL position
+    assert(node3.wal.fetch("q", -1L, 10) === Seq((2L, "c")))
+    assert(promoted.persist("q", Seq("d")) === 3L)
+    assert(node3.wal.fetch("q", -1L, 10) === Seq((2L, "c"), (3L, "d")))
+  }
+
+  test("failover propagates closed shards; fully-truncated shards keep their floor") {
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    leader.persist("q", Seq("a"))
+    leader.suggestTruncate("q", 0L) // nothing retained, floor = 1
+    follower.closeShard("q")
+    val node3 = new Replication.Follower(wal(), "test-follower", "node-3")
+    val promoted = follower.promote(node3)
+    // the new replica reports ShardClosed, so the persist is NOT acked
+    intercept[IllegalStateException](promoted.persist("q", Seq("b")))
+    // the bootstrap still aligned the replica's floor past the truncated
+    // range — positions would continue at 1, never rewind to 0
+    assert(node3.wal.endPosition("q") === 1L)
+    assert(node3.wal.fetch("q", -1L, 10).isEmpty)
+  }
+
+  test("a gap rejection applies NO subrequest (two-phase validation)") {
+    val (_, follower) = pair()
+    follower.initReplica("test-leader", "test-follower", 0L, "q1")
+    follower.initReplica("test-leader", "test-follower", 1L, "q2")
+    intercept[IllegalArgumentException] {
+      follower.replicate("test-leader", "test-follower", 2L,
+        Seq(("q1", -1L, Seq("a")), ("q2", 7L, Seq("z")))) // q2 gaps
+    }
+    // q1's batch was NOT partially applied before the q2 gap was detected
+    assert(follower.wal.fetch("q1", -1L, 10).isEmpty)
+  }
+
+  test("alignFloor guards: non-empty queue and rewinds are rejected") {
+    val w = wal()
+    w.createQueue("q")
+    w.alignFloor("q", 5L)
+    assert(w.endPosition("q") === 5L)
+    intercept[IllegalArgumentException](w.alignFloor("q", 3L)) // rewind
+    w.ingest("q", Seq("a"))
+    intercept[IllegalArgumentException](w.alignFloor("q", 9L)) // non-empty
+  }
+
   test("replication gap (diverged replica) is rejected, not silently applied") {
     val (_, follower) = pair()
     follower.initReplica("test-leader", "test-follower", 0L, "q")

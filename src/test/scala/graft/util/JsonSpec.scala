@@ -1,0 +1,18 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class JsonSpec extends AnyFunSuite {
+
+  test("render/parse round-trip preserves order, integral doubles, escapes") {
+    val v = Json.parse("""{"b":1,"a":[1.5,true,null,"x\ny"],"c":{"k":"v"}}""")
+    assert(Json.render(v) === """{"b":1,"a":[1.5,true,null,"x\ny"],"c":{"k":"v"}}""")
+  }
+
+  test("non-finite doubles render as null, keeping the output parseable") {
+    assert(Json.render(Double.NaN) === "null")
+    assert(Json.render(Double.PositiveInfinity) === "null")
+    assert(Json.render(Double.NegativeInfinity) === "null")
+    assert(Json.parse(Json.render(Map("x" -> Double.NaN))) === Map("x" -> null))
+  }
+}
