@@ -152,12 +152,17 @@ final class IndexService(rootDir: String, spark: SparkSession) {
 
   // Memoized per index: TranscriptTable carries the leaf search cache, so a
   // fresh instance per call would silently defeat replayed-window hits.
+  // Lookup and delete-time invalidation share one monitor: without it a
+  // concurrent table() between the memo removal and the directory removal
+  // could re-cache an instance over the dying index and serve its stale
+  // leaf cache to a later re-creation of the same id.
   private val tables =
-    scala.collection.concurrent.TrieMap.empty[String, graft.sources.TranscriptTable]
+    scala.collection.mutable.Map.empty[String, graft.sources.TranscriptTable]
 
-  def table(indexId: String): graft.sources.TranscriptTable =
+  def table(indexId: String): graft.sources.TranscriptTable = tables.synchronized {
     tables.getOrElseUpdate(indexId,
       new graft.sources.TranscriptTable(indexDir(indexId), spark))
+  }
 
   def loadConfig(indexId: String): IndexConfig = {
     if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
@@ -208,14 +213,16 @@ final class IndexService(rootDir: String, spark: SparkSession) {
     if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
     val infos = splitInfos(indexId)
     if (dryRun) return infos
-    tables.remove(indexId) // a recreated index must not reuse stale caches
-    deleteFiles(infos)
-    // remove manifest snapshots, data dirs, config — bottom-up walk
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) graft.util.Fs.list(p).foreach(rm)
-      Files.deleteIfExists(p)
+    tables.synchronized { // a recreated index must never reuse stale caches
+      tables.remove(indexId)
+      deleteFiles(infos)
+      // remove manifest snapshots, data dirs, config — bottom-up walk
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) graft.util.Fs.list(p).foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(Paths.get(indexDir(indexId)))
     }
-    rm(Paths.get(indexDir(indexId)))
     infos
   }
 

@@ -81,10 +81,17 @@ object Replication {
       synchronized {
         checkRouting(reqLeader, reqFollower)
         checkSeqno(seqno)
-        subrequests.foreach { case (queueId, fromExclusive, _) =>
-          if (shards.get(queueId).contains(true))
-            require(positions(queueId) == fromExclusive,
-              s"replication gap on $queueId: at ${positions(queueId)}, batch from $fromExclusive")
+        // Validation pass simulates position advancement so a request may
+        // legally carry several contiguous batches for the same shard, and
+        // a duplicated batch (same from-position twice) is caught as a gap.
+        val sim = scala.collection.mutable.Map.empty[String, Long]
+        subrequests.foreach { case (queueId, fromExclusive, docs) =>
+          if (shards.get(queueId).contains(true)) {
+            val at = sim.getOrElse(queueId, positions(queueId))
+            require(at == fromExclusive,
+              s"replication gap on $queueId: at $at, batch from $fromExclusive")
+            sim(queueId) = fromExclusive + docs.length
+          }
         }
         val successes = Seq.newBuilder[ReplicateSuccess]
         val failures = Seq.newBuilder[ReplicateFailure]
@@ -144,36 +151,52 @@ object Replication {
   /** The leader half: local persist + replicate + quorum ack. */
   final class Leader(val wal: IngestQueue, val leaderId: String, follower: Follower) {
 
+    /** Resync replay batch size: bounds failover memory AND keeps the new
+      * replica's WAL segment-granular (one giant replay batch would write
+      * one giant segment that truncation could never partially reclaim). */
+    private val ResyncBatch = 4096
+
     private var nextSeqno = 0L
     private val shards = scala.collection.mutable.Set.empty[String]
+    private val acked = scala.collection.mutable.Map.empty[String, Long]
     private def seqno(): Long = { val s = nextSeqno; nextSeqno += 1; s }
 
     def openShard(queueId: String): Unit = synchronized {
       wal.createQueue(queueId)
       follower.initReplica(leaderId, follower.followerId, seqno(), queueId)
       shards += queueId
+      acked(queueId) = wal.endPosition(queueId) - 1
     }
 
     /** A promoted leader adopts an existing replica queue: its own WAL
       * already holds the acked records; the NEW follower is bootstrapped at
-      * the retained floor and the retained records are replayed to it, so
-      * both nodes hold identical positions and subsequent persists
-      * replicate cleanly. */
+      * the retained floor and the retained records are replayed to it in
+      * [[ResyncBatch]]-bounded batches, so both nodes hold identical
+      * positions and subsequent persists replicate cleanly. */
     private[Replication] def adoptShard(queueId: String): Unit = synchronized {
       wal.createQueue(queueId)
-      val retained = wal.fetch(queueId, -1L, Int.MaxValue)
-      val floor = retained.headOption.map(_._1).getOrElse(wal.endPosition(queueId))
+      val end = wal.endPosition(queueId)
+      val floor = wal.fetch(queueId, -1L, 1).headOption.map(_._1).getOrElse(end)
       follower.initReplicaAt(leaderId, follower.followerId, seqno(), queueId, floor)
-      if (retained.nonEmpty)
+      var at = floor - 1
+      while (at < end - 1) {
+        val batch = wal.fetch(queueId, at, ResyncBatch)
         follower.replicate(leaderId, follower.followerId, seqno(),
-          Seq((queueId, floor - 1, retained.map(_._2))))
+          Seq((queueId, at, batch.map(_._2))))
+        at = batch.last._1
+      }
       shards += queueId
+      acked(queueId) = end - 1 // every retained record was leader-acked
     }
 
     /** persist: local WAL append → replicate → ack. Returns the acked
       * position ONLY once the follower confirmed; a follower failure
-      * surfaces to the caller and the batch is NOT acked (the reference
-      * fails the persist subrequest the same way). */
+      * surfaces to the caller, the batch is NOT acked, and the shard
+      * CLOSES on the leader — the reference fails the persist subrequest
+      * and closes the shard the same way (ingester.rs), routing clients to
+      * another shard. The locally appended batch stays in the leader WAL
+      * (positions are never reused) but [[ackedPosition]] never reports
+      * it: acks are tracked explicitly, not derived from the raw end. */
     def persist(queueId: String, docs: Seq[String]): Long = synchronized {
       require(shards.contains(queueId), s"unknown shard: $queueId")
       val fromExclusive = wal.endPosition(queueId) - 1
@@ -181,12 +204,14 @@ object Replication {
       val resp = follower.replicate(leaderId, follower.followerId, seqno(),
         Seq((queueId, fromExclusive, docs)))
       resp.failures.headOption.foreach { f =>
+        shards -= queueId
         throw new IllegalStateException(
           s"replication failed on ${f.queueId}: ${f.reason.label} — batch not acked")
       }
-      val acked = resp.successes.head.replicationPositionInclusive
-      require(acked == last,
-        s"replica diverged on $queueId: leader at $last, follower at $acked")
+      val ackedPos = resp.successes.head.replicationPositionInclusive
+      require(ackedPos == last,
+        s"replica diverged on $queueId: leader at $last, follower at $ackedPos")
+      acked(queueId) = last
       last
     }
 
@@ -196,6 +221,7 @@ object Replication {
       follower.truncate(queueId, upToInclusive)
     }
 
-    def ackedPosition(queueId: String): Long = synchronized(wal.endPosition(queueId) - 1)
+    /** Last position confirmed on BOTH nodes (−1 before the first ack). */
+    def ackedPosition(queueId: String): Long = synchronized(acked.getOrElse(queueId, -1L))
   }
 }

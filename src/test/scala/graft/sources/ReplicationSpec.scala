@@ -157,6 +157,58 @@ class ReplicationSpec extends AnyFunSuite {
     assert(follower.wal.fetch("q1", -1L, 10).isEmpty)
   }
 
+  test("one request may carry several CONTIGUOUS batches for one shard; a replayed batch is a gap") {
+    val (_, follower) = pair()
+    follower.initReplica("test-leader", "test-follower", 0L, "q")
+    // two contiguous batches for q in ONE request: legal, both apply
+    val r = follower.replicate("test-leader", "test-follower", 1L,
+      Seq(("q", -1L, Seq("a")), ("q", 0L, Seq("b", "c"))))
+    assert(r.successes.map(_.replicationPositionInclusive) === Seq(0L, 2L))
+    assert(follower.wal.fetch("q", -1L, 10).map(_._2) === Seq("a", "b", "c"))
+    // the same from-position twice in one request = a folded retry: gap,
+    // and NOTHING applies (the second batch would land at the wrong offset)
+    intercept[IllegalArgumentException] {
+      follower.replicate("test-leader", "test-follower", 2L,
+        Seq(("q", 2L, Seq("d")), ("q", 2L, Seq("d"))))
+    }
+    assert(follower.wal.fetch("q", -1L, 10).map(_._2) === Seq("a", "b", "c"))
+  }
+
+  test("a failed persist is never reported acked, and the shard closes") {
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    leader.persist("q", Seq("a"))
+    assert(leader.ackedPosition("q") === 0L)
+    follower.closeShard("q")
+    intercept[IllegalStateException](leader.persist("q", Seq("b")))
+    // the local WAL holds the unacked record (positions never reuse), but
+    // the acked position did NOT advance past what the follower confirmed
+    assert(leader.wal.fetch("q", -1L, 10).map(_._2) === Seq("a", "b"))
+    assert(leader.ackedPosition("q") === 0L)
+    // close-on-failure: the shard no longer accepts persists on this leader
+    intercept[IllegalArgumentException](leader.persist("q", Seq("c")))
+  }
+
+  test("failover resync replays in bounded batches, preserving segment granularity") {
+    val dir3 = java.nio.file.Files.createTempDirectory("repl-resync").toString
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    // 3 leader batches → replay spans several ResyncBatch (4096) chunks
+    leader.persist("q", (0 until 4000).map(i => s"d$i"))
+    leader.persist("q", (4000 until 8000).map(i => s"d$i"))
+    leader.persist("q", (8000 until 9000).map(i => s"d$i"))
+    val node3 = new Replication.Follower(new IngestQueue(dir3), "test-follower", "node-3")
+    val promoted = follower.promote(node3)
+    assert(promoted.ackedPosition("q") === 8999L)
+    assert(node3.wal.endPosition("q") === 9000L)
+    assert(node3.wal.fetch("q", 8997L, 10).map(_._2) === Seq("d8998", "d8999"))
+    // more than one replayed segment: truncation on the replica can later
+    // reclaim the resynced range in pieces, not all-or-nothing
+    val segs = graft.util.Fs.list(java.nio.file.Paths.get(dir3, "q"))
+      .count(_.getFileName.toString.startsWith("seg-"))
+    assert(segs >= 2)
+  }
+
   test("alignFloor guards: non-empty queue and rewinds are rejected") {
     val w = wal()
     w.createQueue("q")
