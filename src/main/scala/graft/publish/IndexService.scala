@@ -152,14 +152,20 @@ final class IndexService(rootDir: String, spark: SparkSession) {
 
   // Memoized per index: TranscriptTable carries the leaf search cache, so a
   // fresh instance per call would silently defeat replayed-window hits.
-  // Lookup and delete-time invalidation share one monitor: without it a
-  // concurrent table() between the memo removal and the directory removal
-  // could re-cache an instance over the dying index and serve its stale
-  // leaf cache to a later re-creation of the same id.
+  // Lookup and delete-time invalidation share one monitor — but the monitor
+  // never covers file IO: deleteIndex marks the id as dying inside the
+  // lock, deletes outside it, and unmarks when done, so a concurrent
+  // table() on the dying id fails fast (the index is going away) instead
+  // of re-caching an instance whose stale leaf cache a later re-creation
+  // of the same id would serve, and lookups for UNRELATED indexes never
+  // stall behind one index's file deletion.
   private val tables =
     scala.collection.mutable.Map.empty[String, graft.sources.TranscriptTable]
+  private val dying = scala.collection.mutable.Set.empty[String]
 
   def table(indexId: String): graft.sources.TranscriptTable = tables.synchronized {
+    if (dying.contains(indexId))
+      throw new IllegalArgumentException(s"index not found: `$indexId`")
     tables.getOrElseUpdate(indexId,
       new graft.sources.TranscriptTable(indexDir(indexId), spark))
   }
@@ -213,8 +219,8 @@ final class IndexService(rootDir: String, spark: SparkSession) {
     if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
     val infos = splitInfos(indexId)
     if (dryRun) return infos
-    tables.synchronized { // a recreated index must never reuse stale caches
-      tables.remove(indexId)
+    tables.synchronized { tables.remove(indexId); dying += indexId }
+    try {
       deleteFiles(infos)
       // remove manifest snapshots, data dirs, config — bottom-up walk
       def rm(p: Path): Unit = {
@@ -222,7 +228,7 @@ final class IndexService(rootDir: String, spark: SparkSession) {
         Files.deleteIfExists(p)
       }
       rm(Paths.get(indexDir(indexId)))
-    }
+    } finally tables.synchronized { dying -= indexId }
     infos
   }
 

@@ -59,6 +59,12 @@ final class IngestQueue(rootDir: String) {
     math.max(segments(queueId).lastOption.map(_._2 + 1).getOrElse(0L),
              positionFloor(queueId))
 
+  /** Segment ranges (from, to) in position order — failover resync replays
+    * the WAL segment-by-segment so each file is read exactly once and the
+    * replica reproduces the leader's original batch granularity. */
+  private[sources] def segmentRanges(queueId: String): Seq[(Long, Long)] =
+    segments(queueId).map { case (from, to, _) => (from, to) }
+
   /** Replica bootstrap: advance an EMPTY queue's position floor so its next
     * ingest is assigned `nextPosition` — positions are global per shard, so
     * a replica opened mid-stream must take over the leader's numbering (the

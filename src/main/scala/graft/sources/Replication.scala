@@ -86,6 +86,7 @@ object Replication {
         // a duplicated batch (same from-position twice) is caught as a gap.
         val sim = scala.collection.mutable.Map.empty[String, Long]
         subrequests.foreach { case (queueId, fromExclusive, docs) =>
+          require(docs.nonEmpty, s"empty replicate batch for $queueId")
           if (shards.get(queueId).contains(true)) {
             val at = sim.getOrElse(queueId, positions(queueId))
             require(at == fromExclusive,
@@ -151,42 +152,44 @@ object Replication {
   /** The leader half: local persist + replicate + quorum ack. */
   final class Leader(val wal: IngestQueue, val leaderId: String, follower: Follower) {
 
-    /** Resync replay batch size: bounds failover memory AND keeps the new
-      * replica's WAL segment-granular (one giant replay batch would write
-      * one giant segment that truncation could never partially reclaim). */
-    private val ResyncBatch = 4096
-
     private var nextSeqno = 0L
     private val shards = scala.collection.mutable.Set.empty[String]
     private val acked = scala.collection.mutable.Map.empty[String, Long]
     private def seqno(): Long = { val s = nextSeqno; nextSeqno += 1; s }
 
+    /** Shard ids are NEVER reused (the reference's control plane always
+      * mints fresh ids): re-opening a queue that already holds records —
+      * e.g. one whose shard closed on a failed persist, leaving an
+      * orphaned unacked record — would let the raw WAL end masquerade as
+      * an acked position. */
     def openShard(queueId: String): Unit = synchronized {
+      require(wal.endPosition(queueId) == 0,
+        s"shard ids are never reused: $queueId already holds positions")
       wal.createQueue(queueId)
       follower.initReplica(leaderId, follower.followerId, seqno(), queueId)
       shards += queueId
-      acked(queueId) = wal.endPosition(queueId) - 1
+      acked(queueId) = -1L
     }
 
     /** A promoted leader adopts an existing replica queue: its own WAL
       * already holds the acked records; the NEW follower is bootstrapped at
-      * the retained floor and the retained records are replayed to it in
-      * [[ResyncBatch]]-bounded batches, so both nodes hold identical
-      * positions and subsequent persists replicate cleanly. */
+      * the retained floor and the retained records are replayed to it
+      * SEGMENT-BY-SEGMENT — each file is read exactly once (no quadratic
+      * re-reads), replay memory is bounded by the largest original persist
+      * batch, and the replica's WAL keeps the leader's segment granularity
+      * so later truncation can reclaim the resynced range in pieces. */
     private[Replication] def adoptShard(queueId: String): Unit = synchronized {
       wal.createQueue(queueId)
-      val end = wal.endPosition(queueId)
-      val floor = wal.fetch(queueId, -1L, 1).headOption.map(_._1).getOrElse(end)
+      val ranges = wal.segmentRanges(queueId)
+      val floor = ranges.headOption.map(_._1).getOrElse(wal.endPosition(queueId))
       follower.initReplicaAt(leaderId, follower.followerId, seqno(), queueId, floor)
-      var at = floor - 1
-      while (at < end - 1) {
-        val batch = wal.fetch(queueId, at, ResyncBatch)
+      ranges.foreach { case (from, to) =>
+        val batch = wal.fetch(queueId, from - 1, (to - from + 1).toInt)
         follower.replicate(leaderId, follower.followerId, seqno(),
-          Seq((queueId, at, batch.map(_._2))))
-        at = batch.last._1
+          Seq((queueId, from - 1, batch.map(_._2))))
       }
       shards += queueId
-      acked(queueId) = end - 1 // every retained record was leader-acked
+      acked(queueId) = wal.endPosition(queueId) - 1 // retained ⇒ leader-acked
     }
 
     /** persist: local WAL append → replicate → ack. Returns the acked

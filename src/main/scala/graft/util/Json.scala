@@ -26,6 +26,9 @@ object Json {
     case d: Double  =>
       if (!java.lang.Double.isFinite(d)) "null"
       else if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString else d.toString
+    case f: Float   =>
+      if (!java.lang.Float.isFinite(f)) "null"
+      else if (f.isWhole && math.abs(f) < 1e15f) f.toLong.toString else f.toString
     case n: Number  => n.toString
     case s: String  => "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

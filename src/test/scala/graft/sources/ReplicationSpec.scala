@@ -193,7 +193,8 @@ class ReplicationSpec extends AnyFunSuite {
     val dir3 = java.nio.file.Files.createTempDirectory("repl-resync").toString
     val (leader, follower) = pair()
     leader.openShard("q")
-    // 3 leader batches → replay spans several ResyncBatch (4096) chunks
+    // 3 leader batches → 3 segments → the replay reads and ships each
+    // segment once, reproducing the leader's batch granularity
     leader.persist("q", (0 until 4000).map(i => s"d$i"))
     leader.persist("q", (4000 until 8000).map(i => s"d$i"))
     leader.persist("q", (8000 until 9000).map(i => s"d$i"))
@@ -207,6 +208,26 @@ class ReplicationSpec extends AnyFunSuite {
     val segs = graft.util.Fs.list(java.nio.file.Paths.get(dir3, "q"))
       .count(_.getFileName.toString.startsWith("seg-"))
     assert(segs >= 2)
+  }
+
+  test("shard ids never reuse; empty replicate batches are rejected up front") {
+    val (leader, follower) = pair()
+    leader.openShard("q")
+    leader.persist("q", Seq("a"))
+    follower.closeShard("q")
+    intercept[IllegalStateException](leader.persist("q", Seq("b"))) // closes q
+    // re-opening the same id would let the orphaned unacked record at
+    // position 1 masquerade as acked — rejected
+    val e = intercept[IllegalArgumentException](leader.openShard("q"))
+    assert(e.getMessage.contains("never reused"))
+    // an empty batch fails validation BEFORE any subrequest applies
+    val (_, f2) = pair()
+    f2.initReplica("test-leader", "test-follower", 0L, "q")
+    intercept[IllegalArgumentException] {
+      f2.replicate("test-leader", "test-follower", 1L,
+        Seq(("q", -1L, Seq("a")), ("q", 0L, Seq())))
+    }
+    assert(f2.wal.fetch("q", -1L, 10).isEmpty)
   }
 
   test("alignFloor guards: non-empty queue and rewinds are rejected") {
