@@ -66,25 +66,27 @@ object DeleteExecutor {
           val doomed = applicable.map(_.query.toColumn(resolver)).reduce(_ || _)
           val files = s.files.map(_.replaceFirst("^file:", ""))
           val df = spark.read.parquet(files: _*)
-          // ONE scan per stale split: persist the survivors and derive the
-          // match count as numDocs − kept — the common case at scale is a
-          // query matching zero of a split's docs, and counting the doomed
-          // side separately would read every stale split twice
-          val kept = df.filter(!doomed).persist()
-          try {
-            val keptCount = kept.count()
-            val matches = s.numDocs - keptCount
-            if (matches == 0L) {
-              // bump_opstamp: metadata-only republish of the same id
-              val entry = s.copy(deleteOpstamp = maxOpstamp)
-              store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
-                .fold(_ => Raced, _ => Bumped(entry))
-            } else if (keptCount == 0L) {
-              // every doc matched: drop the split outright — no empty split
-              // is ever staged (the reference's whole-split delete arm)
-              store.publish(Nil, Set(s.splitId), Checkpoint.Delta(Nil))
-                .fold(_ => Raced, _ => Dropped(matches))
-            } else {
+          // Probe pass: a predicate-column-pruned count of the DOOMED side.
+          // The common case at scale — a query matching zero of a split's
+          // docs — touches ONLY the predicate columns of the parquet scan
+          // (a small fraction of a text-heavy split) and materializes
+          // nothing. Only a partial match pays a full-width second read,
+          // which the rewrite must do anyway to write the survivors.
+          val matches = df.filter(doomed).count()
+          if (matches == 0L) {
+            // bump_opstamp: metadata-only republish of the same id
+            val entry = s.copy(deleteOpstamp = maxOpstamp)
+            store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
+              .fold(_ => Raced, _ => Bumped(entry))
+          } else if (matches == s.numDocs) {
+            // every doc matched: drop the split outright — no empty split
+            // is ever staged (the reference's whole-split delete arm)
+            store.publish(Nil, Set(s.splitId), Checkpoint.Delta(Nil))
+              .fold(_ => Raced, _ => Dropped(matches))
+          } else {
+            // survivors cached once: stats + sorted write share the scan
+            val kept = df.filter(!doomed).persist()
+            try {
               val newId = rewrittenSplitId(s.splitId, maxOpstamp)
               val outDir = s"$tableDir/data/$newId"
               val written = SplitStaging.writeSorted(kept, outDir)
@@ -103,8 +105,8 @@ object DeleteExecutor {
                 files = written)
               store.publish(Seq(entry), Set(s.splitId), Checkpoint.Delta(Nil))
                 .fold(_ => Raced, _ => Rewrote(entry, matches))
-            }
-          } finally kept.unpersist()
+            } finally kept.unpersist()
+          }
         }
       }
       // Await EVERY job before surfacing any failure: rethrowing on the

@@ -164,7 +164,10 @@ final class IndexService(rootDir: String, spark: SparkSession) {
   private val dying = scala.collection.mutable.Set.empty[String]
 
   def table(indexId: String): graft.sources.TranscriptTable = tables.synchronized {
-    if (dying.contains(indexId))
+    // same not-found contract as every other operation (index.rs returns
+    // IndexNotFound for unknown ids) — without it, ingest into a typo'd or
+    // just-deleted id would silently mint a config-less index directory
+    if (dying.contains(indexId) || !exists(indexId))
       throw new IllegalArgumentException(s"index not found: `$indexId`")
     tables.getOrElseUpdate(indexId,
       new graft.sources.TranscriptTable(indexDir(indexId), spark))

@@ -87,16 +87,19 @@ object EsApi {
 
   /** A rendered page plus the NATIVE machinery the scroll context needs:
     * the last hit's raw sort values (full i64/timestamp precision — a
-    * JSON re-parse would collapse longs beyond 2^53 to doubles) and the
-    * page's total. */
+    * JSON re-parse would collapse longs beyond 2^53 to doubles), the
+    * page's total, and — when the page ranked by BM25 — the (doc_id,
+    * score) frame, so a scroll can materialize the expensive corpus
+    * aggregate once instead of per continuation. */
   final case class Page(rendered: String, lastSortValues: Option[Seq[Any]],
-                        total: Long)
+                        total: Long, scores: Option[DataFrame] = None)
 
   def searchPage(df: DataFrame, resolver: FieldResolver, id: Column,
                  bodyJson: String, cursorOverride: Option[Seq[Any]],
                  extraSort: Seq[(String, Boolean)],
                  includeAggs: Boolean,
-                 totalOverride: Option[Long] = None): Page = {
+                 totalOverride: Option[Long] = None,
+                 scoresOverride: Option[DataFrame] = None): Page = {
     val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
     val astOpt = m.get("query").map(q => EsDsl.fromParsed(q, resolver.defaultFields))
     val filtered = astOpt.map(a => df.filter(a.toColumn(resolver))).getOrElse(df)
@@ -111,8 +114,12 @@ object EsApi {
       if (cursorOverride.isDefined) 0
       else m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
     val bodySort = m.get("sort").map(parseSort).getOrElse(Nil)
-    val sortSpec = bodySort ++
-      extraSort.filterNot { case (f, _) => bodySort.exists(_._1 == f) }
+    // ES's DEFAULT ordering: a body with no `sort` ranks by relevance —
+    // _score desc (the reference's collector.rs SortBy::Score default) —
+    // with the caller's tiebreaks (scroll id sort) behind it.
+    val effectiveSort = if (bodySort.nonEmpty) bodySort else Seq("_score" -> false)
+    val sortSpec = effectiveSort ++
+      extraSort.filterNot { case (f, _) => effectiveSort.exists(_._1 == f) }
 
     // `_score` compiles to REAL BM25 over the query's positive text terms
     // (collector.rs:106-112 SortBy::Score — the reference scores relevance
@@ -125,19 +132,23 @@ object EsApi {
     val scoreTerms =
       if (needsScore) astOpt.map(QueryAst.scoringTerms).getOrElse(Nil).distinct else Nil
     val ScoreCol = "_bm25_score"
-    val pageBase =
-      if (scoreTerms.isEmpty) filtered
-      else {
+    val scoresFrame: Option[DataFrame] =
+      if (scoreTerms.isEmpty) None
+      else scoresOverride.orElse {
         val perField = scoreTerms.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ts) =>
           graft.operators.Scoring.bm25(df, id, col(f), ts.map(_._2))
         }
-        val scores = perField.reduce(_ union _)
+        Some(perField.reduce(_ union _)
           .groupBy("doc_id").agg(sum("score").as(ScoreCol))
-          .withColumnRenamed("doc_id", "_score_join_id")
+          .withColumnRenamed("doc_id", "_score_join_id"))
+      }
+    val pageBase = scoresFrame match {
+      case None => filtered
+      case Some(scores) =>
         filtered.join(scores, id === col("_score_join_id"), "left")
           .drop("_score_join_id")
           .withColumn(ScoreCol, coalesce(col(ScoreCol), lit(0.0d)))
-      }
+    }
     def sortCol(f: String): Column =
       if (f == "_score") { if (scoreTerms.nonEmpty) col(ScoreCol) else lit(1.0d) }
       else col(f)
@@ -169,7 +180,10 @@ object EsApi {
     // criterion's direction (collector.rs:316-341 generalized to desc)
     val afterFiltered = cursorOverride
       .orElse(m.get("search_after").map(_.asInstanceOf[Seq[Any]])).map { vals =>
-      require(sortSpec.nonEmpty, "search_after requires a sort") // ES validation error
+      // ES validation error: a BODY search_after needs an explicit sort
+      // (the scroll continuation's cursor carries its own stored sort)
+      require(cursorOverride.isDefined || bodySort.nonEmpty,
+        "search_after requires a sort")
       require(vals.size == sortSpec.size,
         s"search_after length ${vals.size} must match sort criteria ${sortSpec.size}")
       val cs = sortSpec.map { case (f, asc) => (sortCol(f), asc, f) }
@@ -257,7 +271,7 @@ object EsApi {
     val hitsBlock =
       s""""hits":{$totalBlock"hits":[${hitsJson.mkString(",")}]}"""
     Page(s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}""",
-      lastSv, total)
+      lastSv, total, scoresFrame)
   }
 
   /** `GET /_elastic` cluster-info banner — the version probe ES clients

@@ -60,7 +60,10 @@ object EsScroll {
     * any node can serve the continuation. The Spark analog of that shape
     * would persist (bodyJson, cursor, total) — all plain values — into a
     * shared store keyed by scroll id; the DataFrame itself is rebuilt per
-    * continuation from the table, not shipped. */
+    * continuation from the table, not shipped (the node-local BM25 score
+    * cache would likewise be recomputed by whichever node serves the
+    * continuation, or carried as the reference carries its cached
+    * window). */
   final class Context(clock: () => Long = () => System.currentTimeMillis(),
                       capacity: Int = DefaultCapacity,
                       sweepIntervalMs: Option[Long] = None) {
@@ -70,6 +73,7 @@ object EsScroll {
                                    bodyJson: String,
                                    cursor: Option[Seq[Any]],
                                    total: Long,
+                                   scores: Option[DataFrame],
                                    deadlineMs: Long, ttlMs: Long,
                                    lastAccessMs: Long)
 
@@ -80,9 +84,18 @@ object EsScroll {
       new java.util.PriorityQueue[(Long, String)](11,
         (a: (Long, String), b: (Long, String)) => java.lang.Long.compare(a._1, b._1))
 
-    sweepIntervalMs.foreach { ms =>
+    private val sweeper: Option[java.util.Timer] = sweepIntervalMs.map { ms =>
       val t = new java.util.Timer("es-scroll-sweeper", true)
       t.schedule(new java.util.TimerTask { def run(): Unit = purgeExpired() }, ms, ms)
+      t
+    }
+
+    /** Stop the sweeper thread and drop every context — a Context with a
+      * sweep interval owns a timer thread, so callers must close it (the
+      * thread otherwise pins this store for the JVM's life). */
+    def close(): Unit = {
+      sweeper.foreach(_.cancel())
+      store.clear()
     }
 
     /** Drop every context past its deadline — O(expired · log n), callable
@@ -127,9 +140,14 @@ object EsScroll {
       val idCol = org.apache.spark.sql.functions.col(idField)
       val page = EsApi.searchPage(df, resolver, idCol, bodyJson,
         cursorOverride = None, extraSort = Seq(idField -> true), includeAggs = true)
+      // A BM25-ranked scroll materializes the corpus score aggregate ONCE
+      // here (eager localCheckpoint): replaying it per continuation would
+      // re-tokenize the whole index for every size-N page. This is a
+      // node-local twin of the reference's cached scroll window.
+      val cachedScores = page.scores.map(_.localCheckpoint())
       val sid = java.util.UUID.randomUUID().toString
       register(sid, State(df, resolver, idCol, idField, bodyJson,
-        page.lastSortValues, page.total, clock() + ttlMs, ttlMs, clock()))
+        page.lastSortValues, page.total, cachedScores, clock() + ttlMs, ttlMs, clock()))
       splice(sid, page.rendered)
     }
 
@@ -150,7 +168,8 @@ object EsScroll {
       // is empty, and the cursorless replay is equally empty)
       val page = EsApi.searchPage(st.df, st.resolver, st.idCol, st.bodyJson,
         cursorOverride = st.cursor, extraSort = Seq(st.idField -> true),
-        includeAggs = false, totalOverride = Some(st.total))
+        includeAggs = false, totalOverride = Some(st.total),
+        scoresOverride = st.scores)
       register(scrollId,
         st.copy(cursor = page.lastSortValues.orElse(st.cursor),
           deadlineMs = clock() + st.ttlMs, lastAccessMs = clock()))

@@ -204,8 +204,19 @@ object Replication {
       require(shards.contains(queueId), s"unknown shard: $queueId")
       val fromExclusive = wal.endPosition(queueId) - 1
       val (_, last) = wal.ingest(queueId, docs)
-      val resp = follower.replicate(leaderId, follower.followerId, seqno(),
-        Seq((queueId, fromExclusive, docs)))
+      // ANY replication-stream failure closes the shard — a thrown gap /
+      // routing / seqno error means the stream is diverged or broken, and
+      // retrying the same shard would re-hit it forever (the reference
+      // closes shards on replication stream failure and reroutes)
+      val resp =
+        try follower.replicate(leaderId, follower.followerId, seqno(),
+          Seq((queueId, fromExclusive, docs)))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            shards -= queueId
+            throw new IllegalStateException(
+              s"replication stream failed on $queueId — batch not acked", e)
+        }
       resp.failures.headOption.foreach { f =>
         shards -= queueId
         throw new IllegalStateException(

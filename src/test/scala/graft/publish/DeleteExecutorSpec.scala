@@ -96,18 +96,18 @@ class DeleteExecutorSpec extends SparkTestBase {
     val dataBytes = table.store.currentSnapshot().get.splits
       .flatMap(_.files).map(f => new java.io.File(f.replaceFirst("^file:", "")).length()).sum
     // the common case at scale: a query matching NOTHING in any split —
-    // every split takes the bump arm. Deriving matches from
-    // numDocs − kept.count() must read each split's files about once;
-    // the old doomed-count + kept-persist pair read everything twice.
+    // every split takes the bump arm via the predicate-column-pruned probe
+    // count, which reads only the predicate column's pages, strictly less
+    // than even ONE full scan of the split data.
     val b0 = fsBytesRead()
     val res = DeleteExecutor.run(dir, spark,
       Seq(DeleteExecutor.DeleteTask(5L, QueryAst.Term("role", "no_such_role"))),
       concurrency = 1)
     val read = fsBytesRead() - b0
     assert(res.bumped.size === 3 && res.rewritten.isEmpty)
-    // allowance for parquet footers/metadata re-reads; 2 full scans would
-    // be ≥ 2.0× the data size
-    assert(read < (dataBytes * 1.5).toLong,
-      s"read $read bytes for $dataBytes bytes of split data — scanned twice?")
+    // column pruning must hold: the probe reads the predicate column only,
+    // so total IO stays below one full-width scan (footers included)
+    assert(read < dataBytes,
+      s"read $read bytes for $dataBytes bytes of split data — probe not pruned?")
   }
 }

@@ -181,6 +181,22 @@ class EsApiSpec extends SparkTestBase {
     assert(scores.forall(s => s != 1.0d))
   }
 
+  test("_search: a body with NO sort ranks by relevance — ES's default IS _score desc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark vector", "en"),
+      (2L, "spark is one term here diluted by many other words", "en"),
+      (3L, "spark hit", "en"),
+      (4L, "nothing relevant", "de")
+    ).toDF("doc_id", "text", "lang")
+    // same corpus as the explicit `"sort": ["_score"]` fixture above; the
+    // sortless body must produce the SAME relevance order, not doc order
+    val hs = scoreHits(corpus,
+      """{"query": {"match": {"text": {"query": "spark vector", "operator": "or"}}},
+        | "size": 4}""".stripMargin)
+    assert(hs.map(_("_id")) === Seq(1.0, 3.0, 2.0))
+  }
+
   test("_search: filter clauses don't score; term-free queries keep constant 1.0") {
     import spark.implicits._
     val corpus = Seq(

@@ -64,6 +64,29 @@ class EsScrollSpec extends SparkTestBase {
     assert(seen.sorted === (1 to 100).map(_.toDouble))
   }
 
+  test("a BM25-ranked scroll pages the global relevance order from the cached aggregate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark vector"),                                       // both terms
+      (2L, "spark is one term here diluted by many other words"), // diluted
+      (3L, "spark hit"),                                          // one term, short
+      (4L, "nothing relevant")                                    // filtered out
+    ).toDF("id", "name")
+    val ctx = new EsScroll.Context()
+    // sortless body → default _score desc; the context materializes the
+    // score aggregate ONCE at open, continuations page from the cursor
+    val r1 = parsed(ctx.search(corpus, resolver, "id",
+      """{"query":{"match":{"name":{"query":"spark vector","operator":"or"}}},"size":1}""",
+      "30m"))
+    val sid = r1("_scroll_id").asInstanceOf[String]
+    val r2 = parsed(ctx.scroll(sid))
+    val r3 = parsed(ctx.scroll(sid))
+    val r4 = parsed(ctx.scroll(sid))
+    assert((hits(r1) ++ hits(r2) ++ hits(r3)).map(_("_id")) === Seq(1.0, 3.0, 2.0))
+    assert(hits(r4).isEmpty) // exhausted; total intact
+    assert(total(r4) === 3.0)
+  }
+
   test("TTL over the 1800 s cap reproduces the reference error") {
     val ctx = new EsScroll.Context()
     val e = intercept[IllegalArgumentException] {
