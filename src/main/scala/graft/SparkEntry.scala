@@ -1245,11 +1245,111 @@ object SparkEntry {
         size = 10)
         .orderBy("query_idx")),
 
+    // NDJSON `_msearch` over per-line index targets: three header/body
+    // pairs — single index, a two-index union, and a missing index whose
+    // failure renders as a PER-RESPONSE 404 while siblings answer.
+    "es_msearch_ndjson" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val indexes = Seq(
+        "docs-even" -> docs.filter(col("doc_id") % 2 === 0),
+        "docs-odd"  -> docs.filter(col("doc_id") % 2 === 1))
+      val payload =
+        """{"index": "docs-even"}
+          |{"query": {"match_all": {}}, "size": 0}
+          |{"index": ["docs-even", "docs-odd"]}
+          |{"query": {"range": {"doc_id": {"lt": 100}}}, "size": 0}
+          |{"index": "docs-missing"}
+          |{"query": {"match_all": {}}, "size": 0}""".stripMargin
+      val m = graft.util.Json.parse(graft.queryast.EsApi.msearchNdjson(
+        indexes, docResolver, col("doc_id"), payload)).asInstanceOf[Map[String, Any]]
+      m("responses").asInstanceOf[Seq[Any]].zipWithIndex.map { case (r, i) =>
+        val rm = r.asInstanceOf[Map[String, Any]]
+        val total = rm.get("hits")
+          .map(_.asInstanceOf[Map[String, Any]]("total")
+            .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Double].toLong)
+          .getOrElse(-1L)
+        (i, rm("status").asInstanceOf[Double].toLong, total)
+      }.toDF("resp_idx", "status", "total")
+    }),
+
+    // `_search` driven ENTIRELY by URL query-string params
+    // (build_request_for_es_api: `q` compiles through the query language
+    // with default_operator=AND, overriding the body; `sort=doc_id:DESC`
+    // uses the proto-name order; size param caps the page).
+    "es_search_q" -> ((s, d) => {
+      import s.implicits._
+      val rendered = graft.queryast.EsApi.searchWithParams(
+        t(s, d, "documents"), docResolver, col("doc_id"), "{}",
+        Map("q" -> "spark vector", "default_operator" -> "AND",
+          "sort" -> "doc_id:DESC", "size" -> "15"))
+      val m = graft.util.Json.parse(rendered).asInstanceOf[Map[String, Any]]
+      val hits = m("hits").asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Seq[Any]]
+      hits.zipWithIndex.map { case (h, i) =>
+        (i + 1, h.asInstanceOf[Map[String, Any]]("_id").asInstanceOf[Double].toLong)
+      }.toDF("rank", "doc_id")
+    }),
+
+    // Multi-index ES scroll (multi-indices/0002-muti_indices_scroll.yaml):
+    // the documents table split into two parity "indexes"; three pages of
+    // the scroll must walk ONE global doc_id-desc order interleaving both
+    // indexes, every hit tagged with its `_index`. The union is one plan —
+    // one scan per member index, the sort bounded by from+size per page.
+    "es_scroll_multi" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val indexes = Seq(
+        "docs-even" -> docs.filter(col("doc_id") % 2 === 0),
+        "docs-odd"  -> docs.filter(col("doc_id") % 2 === 1))
+      val ctx = new graft.queryast.EsScroll.Context()
+      val first = ctx.searchMulti(indexes, docResolver, "doc_id", "docs-*",
+        """{"query":{"match_all":{}},"size":20,"sort":[{"doc_id":{"order":"desc"}}]}""",
+        "30m")
+      def hitsOf(rendered: String): Seq[(Long, String)] = {
+        val m = graft.util.Json.parse(rendered).asInstanceOf[Map[String, Any]]
+        m("hits").asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]])
+          .map(h => (h("_id").asInstanceOf[Double].toLong,
+            h("_index").asInstanceOf[String]))
+      }
+      val sid = graft.util.Json.parse(first).asInstanceOf[Map[String, Any]]("_scroll_id")
+        .asInstanceOf[String]
+      val pages = Seq(hitsOf(first), hitsOf(ctx.scroll(sid)), hitsOf(ctx.scroll(sid)))
+      ctx.clear(sid)
+      pages.zipWithIndex.flatMap { case (hs, pn) =>
+        hs.map { case (id, idx) => (pn, id, idx) }
+      }.toDF("page", "doc_id", "idx")
+    }),
+
     "es_field_caps" -> ((s, d) => {
       import s.implicits._
       graft.queryast.EsApi.fieldCaps(t(s, d, "documents"), docResolver)
         .toDF("field", "es_type", "searchable", "aggregatable")
         .orderBy("field")
+    }),
+
+    // Multi-index `_field_caps` (es_field_capabilities/0001): documents as
+    // two index-template siblings, one missing the `source` column — the
+    // merged response must expand strings to keyword+text entries and
+    // attribute `source` to its only member index, omitting `indices` for
+    // fields present in all. The rendered envelope parses back out, so the
+    // oracle pins the whole wire shape.
+    "es_field_caps_multi" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val rendered = graft.queryast.EsApi.fieldCapsMulti(
+        Seq("docs-a" -> docs, "docs-b" -> docs.drop("source")),
+        "docs-*", _ => docResolver)
+      val m = graft.util.Json.parse(rendered).asInstanceOf[Map[String, Any]]
+      m("fields").asInstanceOf[Map[String, Any]].toSeq.flatMap { case (f, types) =>
+        types.asInstanceOf[Map[String, Any]].toSeq.map { case (tpe, entM) =>
+          val ent = entM.asInstanceOf[Map[String, Any]]
+          (f, tpe, ent("searchable").asInstanceOf[Boolean],
+            ent("aggregatable").asInstanceOf[Boolean],
+            ent.get("indices").map(_.asInstanceOf[Seq[Any]].mkString(",")).getOrElse(""))
+        }
+      }.toDF("field", "es_type", "searchable", "aggregatable", "indices")
+        .orderBy("field", "es_type")
     }),
 
     "es_cat_indices" -> ((s, d) =>
@@ -2756,6 +2856,47 @@ object SparkEntry {
         |  coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |            FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 10)), '')
         |ORDER BY query_idx""".stripMargin,
+
+    "es_msearch_ndjson" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS resp_idx, CAST(200 AS BIGINT) AS status,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS total
+        |  UNION ALL SELECT 1, 200,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 100)
+        |  UNION ALL SELECT 2, 404, CAST(-1 AS BIGINT)
+        |) ORDER BY resp_idx""".stripMargin,
+
+    "es_search_q" ->
+      """WITH m AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ' ' || lower(text) || ' ' LIKE '% spark %'
+        |    AND ' ' || lower(text) || ' ' LIKE '% vector %')
+        |SELECT CAST(row_number() OVER (ORDER BY doc_id DESC) AS INT) AS rank, doc_id
+        |FROM m ORDER BY doc_id DESC LIMIT 15""".stripMargin,
+
+    "es_field_caps_multi" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'long', true, true, ''),
+        |  ('lang', 'keyword', true, true, ''),
+        |  ('lang', 'text', true, true, ''),
+        |  ('n_chars', 'long', true, true, ''),
+        |  ('source', 'keyword', true, true, 'docs-a'),
+        |  ('source', 'text', true, true, 'docs-a'),
+        |  ('text', 'keyword', true, false, ''),
+        |  ('text', 'text', true, false, '')
+        |) AS t(field, es_type, searchable, aggregatable, indices)
+        |ORDER BY field, es_type""".stripMargin,
+
+    "es_scroll_multi" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'docs-even' ELSE 'docs-odd' END AS idx
+        |  FROM documents),
+        |ordered AS (
+        |  SELECT doc_id, idx, row_number() OVER (ORDER BY doc_id DESC) - 1 AS rn
+        |  FROM u)
+        |SELECT CAST(rn // 20 AS INT) AS page, doc_id, idx
+        |FROM ordered WHERE rn < 60 ORDER BY rn""".stripMargin,
 
     "es_field_caps" ->
       """SELECT field, es_type, TRUE AS searchable, (es_type <> 'text') AS aggregatable

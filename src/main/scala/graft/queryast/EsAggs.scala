@@ -51,9 +51,11 @@ object EsAggs {
   final case class Histogram(field: String, interval: Double, offset: Double,
                              minDocCount: Long,
                              hardBounds: Option[(Double, Double)],
-                             extendedBounds: Option[(Double, Double)]) extends Bucket
+                             extendedBounds: Option[(Double, Double)],
+                             keyed: Boolean = false) extends Bucket
   final case class DateHistogram(field: String, fixedInterval: String,
-                                 offset: String) extends Bucket
+                                 offset: String,
+                                 keyed: Boolean = false) extends Bucket
   final case class RangeB(field: String, ranges: Seq[R.RangeSpec]) extends Bucket
 
   sealed trait Metric extends Agg { def field: String }
@@ -112,10 +114,12 @@ object EsAggs {
             (o("min").asInstanceOf[Double], o("max").asInstanceOf[Double])
           }
           Histogram(fld, p("interval").asInstanceOf[Double], dbl("offset", 0.0),
-            dbl("min_doc_count", 0).toLong, bounds("hard_bounds"), bounds("extended_bounds"))
+            dbl("min_doc_count", 0).toLong, bounds("hard_bounds"), bounds("extended_bounds"),
+            p.get("keyed").exists(_.asInstanceOf[Boolean]))
         case "date_histogram" =>
           DateHistogram(fld, p("fixed_interval").asInstanceOf[String],
-            p.get("offset").map(_.asInstanceOf[String]).getOrElse("0ms"))
+            p.get("offset").map(_.asInstanceOf[String]).getOrElse("0ms"),
+            p.get("keyed").exists(_.asInstanceOf[Boolean]))
         case "range" =>
           val ranges = p("ranges").asInstanceOf[Seq[Any]].map { rAny =>
             val o = rAny.asInstanceOf[Obj]
@@ -242,13 +246,13 @@ object EsAggs {
       val tk = s"_t$depth"
       val d2 = if (isArr) df.withColumn(tk, explode(col(f))) else df.withColumn(tk, col(f))
       (d2.filter(col(tk).isNotNull), col(tk))
-    case Histogram(f, interval, offset, _, hb, _) =>
+    case Histogram(f, interval, offset, _, hb, _, _) =>
       val v = vcol(f)
       val clipped = hb.fold(df.filter(v.isNotNull)) { case (lo, hi) =>
         df.filter(v.isNotNull && v >= lo && v <= hi)
       }
       (clipped, floor((v - offset) / interval) * interval + offset)
-    case DateHistogram(f, ivl, off) =>
+    case DateHistogram(f, ivl, off, _) =>
       (df.filter(col(f).isNotNull), Aggs.dateHistogramKey(col(f), ivl, off))
     case RangeB(f, ranges) =>
       val v = vcol(f)
@@ -422,12 +426,13 @@ object EsAggs {
         val other = totals.getOrElse(path, 0L) - sorted.map(dc).sum
         s"""{"buckets":[${kept.mkString(",")}],"doc_count_error_upper_bound":0,"sum_other_doc_count":$other}"""
 
-      case Histogram(_, interval, offset, minDoc, _, extendedBounds) =>
+      case Histogram(_, interval, offset, minDoc, _, extendedBounds, keyed) =>
         val byKey = cells.map(r => key(r).asInstanceOf[Double] -> r).toMap
-        val bs =
+        val bs: Seq[(String, String)] =
           if (minDoc > 0L)
             byKey.toSeq.sortBy(_._1).collect { case (k, r) if dc(r) >= minDoc =>
-              s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
+              R.num(k) ->
+                s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
             }
           else {
             // Snap with the offset so gap-fill keys land on the same grid as the
@@ -448,17 +453,18 @@ object EsAggs {
             range.toSeq.flatMap { case (lo, hi) =>
               (lo to hi).map { i =>
                 byIdx.get(i) match {
-                  case Some((k, r)) => s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
+                  case Some((k, r)) => R.num(k) ->
+                    s"""{"doc_count":${dc(r)},"key":${R.num(k)}${subsJson(path :+ (k: Any), r)}}"""
                   case None =>
                     val k = i * interval + offset
-                    s"""{"doc_count":0,"key":${R.num(k)}$emptySubsJson}"""
+                    R.num(k) -> s"""{"doc_count":0,"key":${R.num(k)}$emptySubsJson}"""
                 }
               }
             }
           }
-        s"""{"buckets":[${bs.mkString(",")}]}"""
+        s"""{"buckets":${bucketsJson(bs, keyed)}}"""
 
-      case DateHistogram(_, ivl, off) =>
+      case DateHistogram(_, ivl, off, keyed) =>
         val ivlMs = Aggs.intervalMicros(ivl) / 1000L
         val byMs = cells.map { r =>
           val ms = key(r) match {
@@ -468,18 +474,20 @@ object EsAggs {
           }
           ms -> r
         }.toMap
-        val bs =
+        val bs: Seq[(String, String)] =
           if (byMs.isEmpty) Nil
           else (byMs.keys.min to byMs.keys.max by ivlMs).map { ms =>
             val iso = java.time.Instant.ofEpochMilli(ms).toString
-            byMs.get(ms) match {
+            // keyed hashmap key = key_as_string when one exists (the
+            // date_histogram case), else the numeric key's rendering
+            iso -> (byMs.get(ms) match {
               case Some(r) =>
                 s"""{"doc_count":${dc(r)},"key":${R.num(ms.toDouble)},"key_as_string":${R.esc(iso)}${subsJson(path :+ key(r), r)}}"""
               case None =>
                 s"""{"doc_count":0,"key":${R.num(ms.toDouble)},"key_as_string":${R.esc(iso)}$emptySubsJson}"""
-            }
+            })
           }
-        s"""{"buckets":[${bs.mkString(",")}]}"""
+        s"""{"buckets":${bucketsJson(bs, keyed)}}"""
 
       case RangeB(_, ranges) =>
         val byLabel = cells.map(r => key(r).asInstanceOf[String] -> r).toMap
@@ -495,6 +503,15 @@ object EsAggs {
         s"""{"buckets":[${bs.mkString(",")}]}"""
     }
   }
+
+  /** `keyed: true` renders the bucket list as a hashmap keyed by each
+    * bucket's `key` (aggregation.md "keyed" parameter on histogram and
+    * date_histogram — "key in the bucket will be the key in the hashmap";
+    * a date bucket's hashmap key is its key_as_string, matching ES). The
+    * bucket bodies themselves are identical in both forms. */
+  private def bucketsJson(bs: Seq[(String, String)], keyed: Boolean): String =
+    if (keyed) bs.map { case (k, b) => s"${R.esc(k)}:$b" }.mkString("{", ",", "}")
+    else bs.map(_._2).mkString("[", ",", "]")
 
   private def keyJson(k: Any): String = k match {
     case s: String => R.esc(s)

@@ -85,6 +85,58 @@ object EsApi {
     searchPage(df, resolver, id, bodyJson, cursorOverride, extraSort,
       includeAggs, totalOverride).rendered
 
+  /** `_search` with URL QUERY-STRING parameters
+    * (build_request_for_es_api, rest_handler.rs:160-214; param model
+    * search_query_params.rs:214-253; docs es_compatible_api.md:127-137):
+    *
+    *  - `q` (+ `default_operator`, default OR) takes PRIORITY over the
+    *    body's `query` and compiles through the query language (the
+    *    UserInputQuery arm) — here as its `query_string` DSL twin, which
+    *    is the same AST;
+    *  - `from`/`size` params override the body's;
+    *  - `sort` is `field[:ORDER],...` where ORDER must be the proto name
+    *    `ASC`/`DESC` — lowercase is REJECTED via SortOrder::from_str_name,
+    *    and the reference's error interpolates the FIELD name, not the
+    *    order (search_query_params.rs:216-221 — mirrored verbatim, quirk
+    *    included); a bare field defaults to asc, `_score` to desc
+    *    (default_elasticsearch_sort_order, model/mod.rs:70-76). */
+  def searchWithParams(df: DataFrame, resolver: FieldResolver, id: Column,
+                       bodyJson: String, params: Map[String, String]): String = {
+    val body = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
+    val withQ = params.get("q") match {
+      case Some(q) =>
+        val op = params.get("default_operator")
+          .map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("OR")
+        require(op == "AND" || op == "OR",
+          s"invalid default_operator: `$op`. expected `AND` or `OR`")
+        body + ("query" ->
+          Map("query_string" -> Map("query" -> q, "default_operator" -> op)))
+      case None => body
+    }
+    val withFrom = params.get("from").fold(withQ)(f => withQ + ("from" -> f.toDouble))
+    val withSize = params.get("size").fold(withFrom)(s => withFrom + ("size" -> s.toDouble))
+    val withSort = params.get("sort").fold(withSize) { s =>
+      val fields: Seq[Any] = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { sf =>
+        sf.indexOf(':') match {
+          case -1 =>
+            val ord = if (sf == "_score") "desc" else "asc"
+            Map(sf -> Map("order" -> ord)): Any
+          case i =>
+            val (f, ordStr) = (sf.substring(0, i), sf.substring(i + 1))
+            val ord = ordStr match {
+              case "ASC"  => "asc"
+              case "DESC" => "desc"
+              case _ => throw new IllegalArgumentException(
+                s"invalid sort order `$f`. expected `asc` or `desc`")
+            }
+            Map(f -> Map("order" -> ord)): Any
+        }
+      }
+      withSize + ("sort" -> fields)
+    }
+    search(df, resolver, id, graft.util.Json.render(withSort))
+  }
+
   /** A rendered page plus the NATIVE machinery the scroll context needs:
     * the last hit's raw sort values (full i64/timestamp precision — a
     * JSON re-parse would collapse longs beyond 2^53 to doubles), the
@@ -313,6 +365,68 @@ object EsApi {
     * siblings, as in the reference scenarios). */
   def searchMulti(indexes: Seq[(String, DataFrame)], resolver: FieldResolver,
                   id: Column, patterns: String, bodyJson: String): String = {
+    val selected = selectIndexes(indexes, patterns)
+    if (selected.isEmpty) emptyPage(bodyJson).rendered
+    else search(unionWithIndex(selected), resolver, id, bodyJson)
+  }
+
+  /** NDJSON `_msearch` (es_compat_index_multi_search,
+    * rest_handler.rs:389-470; header model multi_search.rs:69-103):
+    * header/body line PAIRS over trimmed non-empty lines (str_lines,
+    * rest_handler.rs:531-535). Header-level validation aborts the WHOLE
+    * request with the reference's exact errors — an empty index list, an
+    * invalid index pattern, a header with no body line after it. A
+    * sub-search that fails at SEARCH time (an explicit index that doesn't
+    * exist) instead becomes a per-response error entry
+    * `{"status":404,"error":{"reason":...}}` while its siblings answer —
+    * each pair is its own root_search. Responses render in REQUEST order
+    * (documented divergence: the reference collects buffer_unordered
+    * completions, a nondeterministic order; ES's contract is request
+    * order). */
+  def msearchNdjson(indexes: Seq[(String, DataFrame)], resolver: FieldResolver,
+                    id: Column, payload: String): String = {
+    val lines = payload.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+    val pairs = Vector.newBuilder[(Seq[String], String)]
+    var i = 0
+    while (i < lines.size) {
+      val header = graft.util.Json.parse(lines(i)).asInstanceOf[Map[String, Any]]
+      val pats = header.get("index") match {
+        case Some(s: String)   => Seq(s)
+        case Some(xs: Seq[_])  => xs.map(_.asInstanceOf[String])
+        case _                 => Nil
+      }
+      if (pats.isEmpty)
+        throw new IllegalArgumentException(
+          "`_msearch` request header must define at least one index")
+      pats.foreach { p =>
+        IndexPatterns.validate(p).left.foreach(err =>
+          throw new IllegalArgumentException(
+            s"request header contains an invalid index: $err"))
+      }
+      if (i + 1 >= lines.size)
+        throw new IllegalArgumentException("expect request body after request header")
+      pairs += ((pats, lines(i + 1)))
+      i += 2
+    }
+    val responses = pairs.result().map { case (pats, body) =>
+      try {
+        val rendered = searchMulti(indexes, resolver, id, pats.mkString(","), body)
+        s"""{"status":200,${rendered.stripPrefix("{")}"""
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.startsWith("could not find indexes") =>
+          s"""{"status":404,"error":{"reason":${graft.operators.EsAggResponse.esc(e.getMessage)}}}"""
+      }
+    }
+    s"""{"responses":[${responses.mkString(",")}]}"""
+  }
+
+  /** check_all_index_metadata_found (root.rs:941-977): every EXPLICIT id
+    * (no `*`) must resolve — missing ones raise the reference's
+    * IndexesNotFound error (a 404 at the transport); a WILDCARD pattern
+    * matching nothing is NOT an error (multi-indices/0002 last case). */
+  def selectIndexes(indexes: Seq[(String, DataFrame)],
+                    patterns: String): Seq[(String, DataFrame)] = {
     val pats = patterns.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val selected = indexes.filter { case (name, _) =>
       IndexPatterns.matches(pats, name) match {
@@ -320,11 +434,31 @@ object EsApi {
         case Left(err) => throw new IllegalArgumentException(err)
       }
     }
-    require(selected.nonEmpty, s"no index matches [$patterns]")
-    val unioned = selected.map { case (name, df) =>
+    val known = indexes.map(_._1).toSet
+    val missing = pats.filterNot(_.contains("*")).filterNot(known).distinct
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        "could not find indexes matching the IDs " +
+          missing.map(m => "\"" + m + "\"").mkString("[", ", ", "]"))
+    selected
+  }
+
+  private[queryast] def unionWithIndex(selected: Seq[(String, DataFrame)]): DataFrame =
+    selected.map { case (name, df) =>
       df.withColumn("_index", lit(name))
     }.reduce(_ unionByName _)
-    search(unioned, resolver, id, bodyJson)
+
+  /** The response root_search produces over ZERO selected indexes (every
+    * pattern a wildcard, none matched): zero hits, exact zero total, and
+    * NO aggregations key (multi-indices/0003 second case asserts its
+    * absence). `track_total_hits: false` still omits the total. */
+  def emptyPage(bodyJson: String): Page = {
+    val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
+    val totalBlock = m.get("track_total_hits") match {
+      case Some(false) => ""
+      case _           => """"total":{"value":0,"relation":"eq"},"""
+    }
+    Page(s"""{"timed_out":false,"hits":{$totalBlock"hits":[]}}""", None, 0L)
   }
 
   // ---- _msearch ----------------------------------------------------------
@@ -392,6 +526,89 @@ object EsApi {
       s""""$name":{"$t":{"type":"$t","metadata_field":false,"searchable":$s,"aggregatable":$a}}"""
     }.mkString(",")
     s"""{"indices":["$index"],"fields":{$fields}}"""
+  }
+
+  /** Multi-index `_field_caps` (es_field_capabilities/0001 scenario;
+    * response model model/field_capability.rs:128-180; per-index merge
+    * list_fields.rs:95-165; field patterns list_fields.rs:204-233):
+    *
+    *  - index selection shares `_search`'s IndexesNotFound contract — an
+    *    explicit missing id 404s, an all-wildcard no-match answers the
+    *    empty response (the scenario's last two arms);
+    *  - `fields` patterns support up to ONE `*` — exact / prefix /
+    *    suffix / infix (starts-with + ends-with, overlap allowed exactly
+    *    as the reference's matches_pattern);
+    *  - a string field answers BOTH `keyword` and `text` entries with the
+    *    same flags (ListFieldType::Str expansion,
+    *    field_capability.rs:150-156); dates render as `date_nanos`;
+    *    json/object fields are skipped (the `continue` arms);
+    *  - per (field, type): searchable/aggregatable are ANY-of across the
+    *    member indexes; `non_searchable_indices`/`non_aggregatable_indices`
+    *    list the dissenting members (merge_same_field_group); `indices`
+    *    appears ONLY when the field is missing from some member
+    *    (exists-in-all omits it, field_capability.rs:169-174);
+    *  - the response `indices` are the sorted distinct members that
+    *    contributed at least one surviving field.
+    *
+    * `resolverFor` supplies each member's field resolver — text-vs-fast
+    * capability differs per index exactly as the reference's per-index
+    * field configs do. */
+  def fieldCapsMulti(indexes: Seq[(String, DataFrame)], patterns: String,
+                     resolverFor: String => FieldResolver,
+                     fieldsParam: Option[Seq[String]] = None): String = {
+    val selected = selectIndexes(indexes, patterns)
+    def matchesPattern(p: String, name: String): Boolean = p.indexOf('*') match {
+      case -1                     => p == name
+      case 0                      => name.endsWith(p.substring(1))
+      case i if i == p.length - 1 => name.startsWith(p.substring(0, i))
+      case i => name.startsWith(p.substring(0, i)) && name.endsWith(p.substring(i + 1))
+    }
+    def wanted(name: String): Boolean =
+      fieldsParam.forall(ps => ps.isEmpty || ps.exists(matchesPattern(_, name)))
+    // ((field, renderedType), (index, searchable, aggregatable))
+    val entries: Seq[((String, String), (String, Boolean, Boolean))] =
+      selected.flatMap { case (ix, df) =>
+        fieldCaps(df, resolverFor(ix)).filter(c => wanted(c._1)).flatMap {
+          case (f, t, s, a) =>
+            val renderedTypes = t match {
+              case "text" | "keyword" => Seq("keyword", "text")
+              case "date"             => Seq("date_nanos")
+              case "object"           => Nil // Json/Facet `continue` arms
+              case other              => Seq(other)
+            }
+            renderedTypes.map(tt => ((f, tt), (ix, s, a)))
+        }
+      }
+    val respIndices = entries.map(_._2._1).distinct.sorted
+    def arr(xs: Seq[String]): String =
+      xs.map(graft.operators.EsAggResponse.esc).mkString("[", ",", "]")
+    val fieldsJson = entries.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (fieldName, fieldEntries) =>
+        val typesJson = fieldEntries.groupBy(_._1._2).toSeq.sortBy(_._1).map {
+          case (tpe, es) =>
+            val members = es.map(_._2)
+            val searchable = members.exists(_._2)
+            val aggregatable = members.exists(_._3)
+            val idxIds = members.map(_._1).distinct.sorted
+            val nonSearchable =
+              if (searchable) members.filter(!_._2).map(_._1).distinct.sorted else Nil
+            val nonAggregatable =
+              if (aggregatable) members.filter(!_._3).map(_._1).distinct.sorted else Nil
+            val indicesAttr =
+              if (idxIds.size == respIndices.size) "" else s""","indices":${arr(idxIds)}"""
+            val nonAggJson =
+              if (nonAggregatable.isEmpty) ""
+              else s""","non_aggregatable_indices":${arr(nonAggregatable)}"""
+            val nonSearchJson =
+              if (nonSearchable.isEmpty) ""
+              else s""","non_searchable_indices":${arr(nonSearchable)}"""
+            s""""$tpe":{"metadata_field":false,"searchable":$searchable,""" +
+              s""""aggregatable":$aggregatable,"type":"$tpe"""" +
+              indicesAttr + nonAggJson + nonSearchJson + "}"
+        }.mkString(",")
+        s""""$fieldName":{$typesJson}"""
+    }.mkString(",")
+    s"""{"indices":${arr(respIndices)},"fields":{$fieldsJson}}"""
   }
 
   // ---- _bulk ---------------------------------------------------------------

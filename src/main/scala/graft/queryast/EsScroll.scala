@@ -68,7 +68,10 @@ object EsScroll {
                       capacity: Int = DefaultCapacity,
                       sweepIntervalMs: Option[Long] = None) {
 
-    private final case class State(df: DataFrame, resolver: FieldResolver,
+    // `df = None` marks a scroll opened over ZERO selected indexes (every
+    // pattern a wildcard, none matched — root.rs:941-943): a VALID,
+    // permanently-exhausted context whose pages render without any frame
+    private final case class State(df: Option[DataFrame], resolver: FieldResolver,
                                    idCol: Column, idField: String,
                                    bodyJson: String,
                                    cursor: Option[Seq[Any]],
@@ -146,9 +149,34 @@ object EsScroll {
       // node-local twin of the reference's cached scroll window.
       val cachedScores = page.scores.map(_.localCheckpoint())
       val sid = java.util.UUID.randomUUID().toString
-      register(sid, State(df, resolver, idCol, idField, bodyJson,
+      register(sid, State(Some(df), resolver, idCol, idField, bodyJson,
         page.lastSortValues, page.total, cachedScores, clock() + ttlMs, ttlMs, clock()))
       splice(sid, page.rendered)
+    }
+
+    /** Opening `_search?scroll` over comma-separated index ids/globs
+      * (multi-indices/0002-muti_indices_scroll.yaml): explicit missing ids
+      * raise IndexesNotFound BEFORE any context is created (the scenario's
+      * 404 arm); an all-wildcard selection matching nothing opens a VALID,
+      * permanently-exhausted scroll — the `_scroll_id` is still answered
+      * and continuations page the empty set (the scenario's last arm). The
+      * union sorts GLOBALLY across member indexes, so a page can interleave
+      * hits from different indexes, each tagged with its `_index`. */
+    def searchMulti(indexes: Seq[(String, DataFrame)], resolver: FieldResolver,
+                    idField: String, patterns: String, bodyJson: String,
+                    scrollTtl: String): String = {
+      val selected = EsApi.selectIndexes(indexes, patterns)
+      if (selected.nonEmpty)
+        search(EsApi.unionWithIndex(selected), resolver, idField, bodyJson, scrollTtl)
+      else {
+        evictExpired()
+        val ttlMs = parseTtlSecs(scrollTtl) * 1000L
+        val page = EsApi.emptyPage(bodyJson)
+        val sid = java.util.UUID.randomUUID().toString
+        register(sid, State(None, resolver, null, idField, bodyJson,
+          None, 0L, None, clock() + ttlMs, ttlMs, clock()))
+        splice(sid, page.rendered)
+      }
     }
 
     /** `_search/scroll` continuation: one bounded TakeOrdered job per page
@@ -166,10 +194,13 @@ object EsScroll {
       // after the true last row is the empty set, total stays intact —
       // no special casing (a cursor of None means the result set itself
       // is empty, and the cursorless replay is equally empty)
-      val page = EsApi.searchPage(st.df, st.resolver, st.idCol, st.bodyJson,
-        cursorOverride = st.cursor, extraSort = Seq(st.idField -> true),
-        includeAggs = false, totalOverride = Some(st.total),
-        scoresOverride = st.scores)
+      val page = st.df match {
+        case Some(df) => EsApi.searchPage(df, st.resolver, st.idCol, st.bodyJson,
+          cursorOverride = st.cursor, extraSort = Seq(st.idField -> true),
+          includeAggs = false, totalOverride = Some(st.total),
+          scoresOverride = st.scores)
+        case None => EsApi.emptyPage(st.bodyJson) // zero-index scroll
+      }
       register(scrollId,
         st.copy(cursor = page.lastSortValues.orElse(st.cursor),
           deadlineMs = clock() + st.ttlMs, lastAccessMs = clock()))

@@ -117,6 +117,29 @@ class EsAggsSpec extends SparkTestBase {
         |{"doc_count":4,"key":0.0},{"doc_count":0,"key":50.0},{"doc_count":3,"key":100.0}]}}""".stripMargin)
   }
 
+  test("keyed histogram: buckets render as a hashmap keyed by bucket key") {
+    // aggregation.md "keyed" — same buckets (gap-fill included), hashmap
+    // form; bucket bodies identical to the array form
+    check(
+      """{"query":{"match_all":{}},"aggs":{"metrics":{"histogram":
+        |{"field":"response","interval":50,"keyed":true}}}}""".stripMargin,
+      """{"metrics":{"buckets":{
+        |"0.0":{"doc_count":4,"key":0.0},
+        |"50.0":{"doc_count":0,"key":50.0},
+        |"100.0":{"doc_count":3,"key":100.0}}}}""".stripMargin)
+  }
+
+  test("keyed date_histogram: hashmap keys are the key_as_string") {
+    check(
+      """{"query":{"match_all":{}},"aggs":{"date_histo":{"date_histogram":
+        |{"field":"date","fixed_interval":"30d","offset":"-4d","keyed":true}}}}""".stripMargin,
+      """{"date_histo":{"buckets":{
+        |"2015-01-01T00:00:00Z":
+        |  {"doc_count":4,"key":1420070400000.0,"key_as_string":"2015-01-01T00:00:00Z"},
+        |"2015-01-31T00:00:00Z":
+        |  {"doc_count":2,"key":1422662400000.0,"key_as_string":"2015-01-31T00:00:00Z"}}}}""".stripMargin)
+  }
+
   test("histogram: offset + extended_bounds snap on the SAME offset grid as data keys") {
     // data keys (interval 50, offset 5): 30/20→5, 100→55, 120/130→105;
     // extended_bounds snap WITH the offset: 0→-45, 200→155. Snapping without

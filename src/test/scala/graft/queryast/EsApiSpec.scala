@@ -148,10 +148,191 @@ class EsApiSpec extends SparkTestBase {
       "gharchive-1,gharchive-2", "{}")).asInstanceOf[Map[String, Any]]
     assert(two("hits").asInstanceOf[Map[String, Any]]("total") ===
       Map("value" -> 2.0, "relation" -> "eq"))
-    // nothing matches → clear error
-    intercept[IllegalArgumentException] {
-      EsApi.searchMulti(indexes, resolver, col("doc_id"), "nope-*", "{}")
+    // an all-WILDCARD selection matching nothing is NOT an error
+    // (root.rs:941-943): empty hits, zero total, NO aggregations key even
+    // when the body asks for aggs (multi-indices/0003 second case)
+    val none = Json.parse(EsApi.searchMulti(indexes, resolver, col("doc_id"),
+      "nope-*", """{"aggs": {"logins": {"terms": {"field": "lang"}}}}"""))
+      .asInstanceOf[Map[String, Any]]
+    assert(none("hits").asInstanceOf[Map[String, Any]]("total") ===
+      Map("value" -> 0.0, "relation" -> "eq"))
+    assert(none("hits").asInstanceOf[Map[String, Any]]("hits") === Seq())
+    assert(!none.contains("aggregations"))
+    // an EXPLICIT id that doesn't resolve is the reference's 404
+    // (check_all_index_metadata_found, root.rs:947-977) — even when a
+    // sibling wildcard matched (multi-indices/0002 404 arm)
+    val e = intercept[IllegalArgumentException] {
+      EsApi.searchMulti(indexes, resolver, col("doc_id"),
+        "gharchive-*,non-existing-index", "{}")
     }
+    assert(e.getMessage ===
+      """could not find indexes matching the IDs ["non-existing-index"]""")
+  }
+
+  test("_msearch NDJSON: header/body pairs, per-response errors, request order kept") {
+    import spark.implicits._
+    import graft.util.Json
+    val idx1 = Seq((1L, "alpha doc", "en")).toDF("doc_id", "text", "lang")
+    val idx2 = Seq((2L, "beta doc", "en")).toDF("doc_id", "text", "lang")
+    val indexes = Seq("gharchive-1" -> idx1, "gharchive-2" -> idx2)
+    val payload =
+      """{"index": "gharchive-1"}
+        |{"query": {"match_all": {}}, "size": 0}
+        |
+        |{"index": ["gharchive-1", "gharchive-2"]}
+        |{"query": {"match_all": {}}, "size": 0}
+        |{"index": "missing-one"}
+        |{"query": {"match_all": {}}, "size": 0}""".stripMargin
+    val got = Json.parse(EsApi.msearchNdjson(indexes, resolver, col("doc_id"), payload))
+      .asInstanceOf[Map[String, Any]]
+    val rs = got("responses").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    def totalOf(r: Map[String, Any]): Double =
+      r("hits").asInstanceOf[Map[String, Any]]("total")
+        .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Double]
+    assert(rs.map(_("status")) === Seq(200.0, 200.0, 404.0))
+    assert(totalOf(rs(0)) === 1.0 && totalOf(rs(1)) === 2.0)
+    // a search-time failure is a PER-RESPONSE error; siblings still answer
+    assert(rs(2)("error").asInstanceOf[Map[String, Any]]("reason") ===
+      """could not find indexes matching the IDs ["missing-one"]""")
+    // header-level validation aborts the WHOLE request, reference errors
+    assert(intercept[IllegalArgumentException] {
+      EsApi.msearchNdjson(indexes, resolver, col("doc_id"),
+        "{}\n{\"query\": {\"match_all\": {}}}")
+    }.getMessage === "`_msearch` request header must define at least one index")
+    assert(intercept[IllegalArgumentException] {
+      EsApi.msearchNdjson(indexes, resolver, col("doc_id"), """{"index": "gharchive-1"}""")
+    }.getMessage === "expect request body after request header")
+    assert(intercept[IllegalArgumentException] {
+      EsApi.msearchNdjson(indexes, resolver, col("doc_id"),
+        "{\"index\": \"a**b\"}\n{}")
+    }.getMessage.startsWith("request header contains an invalid index:"))
+  }
+
+  test("_search multi-index aggs: one terms tree over the union, _key asc (multi-indices/0003)") {
+    import spark.implicits._
+    import graft.util.Json
+    // the scenario's 4 gharchive actors split across two index-template
+    // sibling indexes; the terms agg must count across BOTH
+    val idx1 = Seq((1L, "push", "fmassot"), (2L, "push", "fulmicoton"))
+      .toDF("doc_id", "text", "login")
+    val idx2 = Seq((3L, "push", "guilload"), (4L, "push", "trinity"))
+      .toDF("doc_id", "text", "login")
+    val got = Json.parse(EsApi.searchMulti(
+      Seq("gharchive-1" -> idx1, "gharchive-2" -> idx2), resolver, col("doc_id"),
+      "gharchive-*",
+      """{"query": {"match_all": {}}, "size": 0,
+        | "aggs": {"logins": {"terms": {"field": "login", "order": {"_key": "asc"}}}}}""".stripMargin))
+      .asInstanceOf[Map[String, Any]]
+    val logins = got("aggregations").asInstanceOf[Map[String, Any]]("logins")
+      .asInstanceOf[Map[String, Any]]
+    assert(logins("buckets").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+      .map(b => (b("key"), b("doc_count"))) ===
+      Seq(("fmassot", 1.0), ("fulmicoton", 1.0), ("guilload", 1.0), ("trinity", 1.0)))
+    assert(logins("sum_other_doc_count") === 0.0)
+  }
+
+  test("_search URL params: q overrides body, default_operator, sort-param quirks") {
+    import spark.implicits._
+    import graft.util.Json
+    val docs = Seq(
+      (1L, "spark vector", "en"),
+      (2L, "spark only", "en"),
+      (3L, "vector only", "de"),
+      (4L, "neither word", "en")
+    ).toDF("doc_id", "text", "lang")
+    def run(params: Map[String, String], body: String = "{}"): Map[String, Any] =
+      Json.parse(EsApi.searchWithParams(docs, resolver, col("doc_id"), body, params))
+        .asInstanceOf[Map[String, Any]]
+    def ids(m: Map[String, Any]): Seq[Any] =
+      m("hits").asInstanceOf[Map[String, Any]]("hits").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]]("_id"))
+    // default_operator defaults to OR (3 hits); AND narrows to the one doc
+    // with both terms. `q` takes PRIORITY over the body's query (the body
+    // here matches nothing).
+    val noneBody = """{"query": {"term": {"lang": "zz"}}}"""
+    val or = run(Map("q" -> "spark vector", "sort" -> "doc_id"), noneBody)
+    assert(ids(or) === Seq(1.0, 2.0, 3.0))
+    val and = run(Map("q" -> "spark vector", "default_operator" -> "AND"), noneBody)
+    assert(ids(and) === Seq(1.0))
+    // sort param: explicit ORDER must be the proto name (ASC/DESC);
+    // lowercase is rejected with the reference's exact error — which
+    // interpolates the FIELD, not the order (search_query_params.rs:216-221)
+    assert(ids(run(Map("sort" -> "doc_id:DESC"))) === Seq(4.0, 3.0, 2.0, 1.0))
+    val e = intercept[IllegalArgumentException] {
+      run(Map("sort" -> "doc_id:desc"))
+    }
+    assert(e.getMessage.contains("invalid sort order `doc_id`. expected `asc` or `desc`"))
+    // bare field defaults asc; params from/size override the body's
+    val paged = run(Map("sort" -> "doc_id", "from" -> "1", "size" -> "2"),
+      """{"from": 0, "size": 100}""")
+    assert(ids(paged) === Seq(2.0, 3.0))
+  }
+
+  test("_field_caps multi-index: dual keyword/text, date_nanos, indices attribution, patterns") {
+    import spark.implicits._
+    import graft.util.Json
+    val idx1 = Seq((1L, "alpha", "en", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "lang", "created")
+    val idx2 = Seq((2L, "beta", "de")).toDF("doc_id", "text", "lang") // no `created`
+    val indexes = Seq("fieldcaps" -> idx1, "fieldcaps-2" -> idx2)
+    val rs: String => FieldResolver = _ => resolver
+    val got = Json.parse(EsApi.fieldCapsMulti(indexes, "fieldcaps*", rs))
+      .asInstanceOf[Map[String, Any]]
+    assert(got("indices") === Seq("fieldcaps", "fieldcaps-2"))
+    val fields = got("fields").asInstanceOf[Map[String, Any]]
+    // a string field answers BOTH keyword and text entries (Str expansion)
+    val lang = fields("lang").asInstanceOf[Map[String, Any]]
+    assert(lang.keySet === Set("keyword", "text"))
+    val langKw = lang("keyword").asInstanceOf[Map[String, Any]]
+    assert(langKw("searchable") === true && langKw("aggregatable") === true &&
+      langKw("metadata_field") === false && !langKw.contains("indices"))
+    // the resolver's text field is not aggregatable (no fast field)
+    assert(fields("text").asInstanceOf[Map[String, Any]]("text")
+      .asInstanceOf[Map[String, Any]]("aggregatable") === false)
+    // dates render as date_nanos; `created` exists only in fieldcaps →
+    // the entry lists its indices (exists-in-all omits them)
+    val created = fields("created").asInstanceOf[Map[String, Any]]
+    assert(created.keySet === Set("date_nanos"))
+    assert(created("date_nanos").asInstanceOf[Map[String, Any]]("indices") ===
+      Seq("fieldcaps"))
+    // fields= patterns: exact, prefix, suffix, infix (one `*` max)
+    def fieldNames(pats: Seq[String]): Set[String] =
+      Json.parse(EsApi.fieldCapsMulti(indexes, "fieldcaps*", rs, Some(pats)))
+        .asInstanceOf[Map[String, Any]]("fields").asInstanceOf[Map[String, Any]].keySet.toSet
+    assert(fieldNames(Seq("lang")) === Set("lang"))
+    assert(fieldNames(Seq("doc*")) === Set("doc_id"))
+    assert(fieldNames(Seq("*ang")) === Set("lang"))
+    assert(fieldNames(Seq("cre*ted")) === Set("created"))
+    assert(fieldNames(Seq("doc*", "lang")) === Set("doc_id", "lang"))
+    // explicit missing index → the reference's 404; wildcard no-match → 200
+    val e = intercept[IllegalArgumentException] {
+      EsApi.fieldCapsMulti(indexes, "fieldcaps,blub", rs)
+    }
+    assert(e.getMessage === """could not find indexes matching the IDs ["blub"]""")
+    assert(Json.parse(EsApi.fieldCapsMulti(indexes, "blub*", rs)) ===
+      Map("indices" -> Seq(), "fields" -> Map()))
+  }
+
+  test("_field_caps multi-index: dissenting members land in non_aggregatable_indices") {
+    import spark.implicits._
+    import graft.util.Json
+    val idx1 = Seq((1L, "alpha")).toDF("doc_id", "note")
+    val idx2 = Seq((2L, "beta")).toDF("doc_id", "note")
+    // `note` is a fast keyword in fc-1 but an indexed-only text in fc-2:
+    // merged entry stays aggregatable (ANY-of) and attributes the
+    // dissenter (merge_same_field_group, list_fields.rs:133-151)
+    val rs: String => FieldResolver = {
+      case "fc-1" => FieldResolver(Set.empty, Seq("note"))
+      case _      => FieldResolver(Set("note"), Seq("note"))
+    }
+    val got = Json.parse(EsApi.fieldCapsMulti(
+      Seq("fc-1" -> idx1, "fc-2" -> idx2), "fc-*", rs))
+      .asInstanceOf[Map[String, Any]]
+    val note = got("fields").asInstanceOf[Map[String, Any]]("note")
+      .asInstanceOf[Map[String, Any]]("keyword").asInstanceOf[Map[String, Any]]
+    assert(note("aggregatable") === true)
+    assert(note("non_aggregatable_indices") === Seq("fc-2"))
+    assert(!note.contains("non_searchable_indices")) // all searchable
   }
 
   private def scoreHits(df: org.apache.spark.sql.DataFrame, body: String): Seq[Map[String, Any]] =

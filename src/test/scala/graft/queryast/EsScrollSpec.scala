@@ -87,6 +87,47 @@ class EsScrollSpec extends SparkTestBase {
     assert(total(r4) === 3.0)
   }
 
+  test("multi-index scroll walks ONE global order across indexes (multi-indices/0002)") {
+    import spark.implicits._
+    // the scenario's actors, ids descending trinity > guilload >
+    // fulmicoton > fmassot, split across two sibling indexes so pages
+    // must interleave indexes to keep the global desc order
+    val idx1 = Seq((4L, "fmassot"), (963L, "trinity")).toDF("id", "name")
+    val idx2 = Seq((14L, "fulmicoton"), (280L, "guilload")).toDF("id", "name")
+    val indexes = Seq("gharchive-1" -> idx1, "gharchive-2" -> idx2)
+    val ctx = new EsScroll.Context()
+    val r1 = parsed(ctx.searchMulti(indexes, resolver, "id", "gharchive-*",
+      """{"query":{"match_all":{}},"size":1,"sort":[{"id":{"order":"desc"}}]}""",
+      "30m"))
+    val sid = r1("_scroll_id").asInstanceOf[String]
+    assert(sid.length > 4)
+    assert(total(r1) === 4.0)
+    val r2 = parsed(ctx.scroll(sid))
+    val r3 = parsed(ctx.scroll(sid))
+    val walked = (hits(r1) ++ hits(r2) ++ hits(r3))
+      .map(h => (h("_source").asInstanceOf[Map[String, Any]]("name"), h("_index")))
+    assert(walked === Seq(("trinity", "gharchive-1"), ("guilload", "gharchive-2"),
+      ("fulmicoton", "gharchive-2")))
+    assert(total(r3) === 4.0)
+    // explicit missing id beside a matching wildcard → 404, NO context made
+    val before = ctx.size
+    val e = intercept[IllegalArgumentException] {
+      ctx.searchMulti(indexes, resolver, "id", "gharchive-*,non-existing-index",
+        """{"query":{"match_all":{}},"size":1}""", "30m")
+    }
+    assert(e.getMessage ===
+      """could not find indexes matching the IDs ["non-existing-index"]""")
+    assert(ctx.size === before)
+    // all-wildcard matching nothing → a VALID exhausted scroll: the
+    // _scroll_id is answered and continuations page the empty set
+    val r4 = parsed(ctx.searchMulti(indexes, resolver, "id", "non-existing-index-*",
+      """{"query":{"match_all":{}},"size":1}""", "30m"))
+    val sid2 = r4("_scroll_id").asInstanceOf[String]
+    assert(total(r4) === 0.0 && hits(r4).isEmpty)
+    val r5 = parsed(ctx.scroll(sid2))
+    assert(total(r5) === 0.0 && hits(r5).isEmpty)
+  }
+
   test("TTL over the 1800 s cap reproduces the reference error") {
     val ctx = new EsScroll.Context()
     val e = intercept[IllegalArgumentException] {
