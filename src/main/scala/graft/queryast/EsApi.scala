@@ -166,6 +166,11 @@ object EsApi {
       if (cursorOverride.isDefined) 0
       else m.get("from").map(_.asInstanceOf[Double].toInt).getOrElse(0)
     val bodySort = m.get("sort").map(parseSort).getOrElse(Nil)
+    // USER sort criteria cap at two (validate_sort_by_fields_and_search_after,
+    // root.rs:367-371, the reference's exact error); the internal tiebreak
+    // `extraSort` is not a user criterion and doesn't count
+    require(bodySort.size <= 2,
+      s"sort by field must be up to 2 fields, got ${bodySort.size}")
     // ES's DEFAULT ordering: a body with no `sort` ranks by relevance —
     // _score desc (the reference's collector.rs SortBy::Score default) —
     // with the caller's tiebreaks (scroll id sort) behind it.

@@ -169,6 +169,18 @@ class EsApiSpec extends SparkTestBase {
       """could not find indexes matching the IDs ["non-existing-index"]""")
   }
 
+  test("_search: more than two sort criteria rejected with the reference error") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      EsApi.search(docs, resolver, col("doc_id"),
+        """{"sort": ["doc_id", "lang", "text"]}""")
+    }
+    assert(e.getMessage.contains("sort by field must be up to 2 fields, got 3"))
+    // exactly two stays fine
+    EsApi.search(docs, resolver, col("doc_id"), """{"sort": ["doc_id", "lang"]}""")
+  }
+
   test("_msearch NDJSON: header/body pairs, per-response errors, request order kept") {
     import spark.implicits._
     import graft.util.Json
