@@ -319,12 +319,7 @@ object EsApi {
     // omits the total, an integer n caps the reported value at n with
     // relation "gte" when more match, `true`/absent tracks exactly (this
     // engine is exact, so "eq" is always truthful).
-    val totalBlock = m.get("track_total_hits") match {
-      case Some(false) => ""
-      case Some(n: Double) if total > n.toLong =>
-        s""""total":{"value":${n.toLong},"relation":"gte"},"""
-      case _ => s""""total":{"value":$total,"relation":"eq"},"""
-    }
+    val totalBlock = totalBlockJson(m, total)
     val hitsBlock =
       s""""hits":{$totalBlock"hits":[${hitsJson.mkString(",")}]}"""
     Page(s"""{"timed_out":false,$hitsBlock${aggsJson.map("," + _).getOrElse("")}}""",
@@ -418,9 +413,16 @@ object EsApi {
         val rendered = searchMulti(indexes, resolver, id, pats.mkString(","), body)
         s"""{"status":200,${rendered.stripPrefix("{")}"""
       } catch {
-        case e: IllegalArgumentException
-            if e.getMessage.startsWith("could not find indexes") =>
-          s"""{"status":404,"error":{"reason":${graft.operators.EsAggResponse.esc(e.getMessage)}}}"""
+        // ANY search-time failure is a per-response entry while siblings
+        // answer (each pair is its own root_search future in the
+        // reference): IndexesNotFound maps to 404, everything else —
+        // unknown query kind, sort-cap violation — to 400 (the
+        // ServiceErrorCode mapping in error.rs:48-58)
+        case scala.util.control.NonFatal(e) =>
+          val status =
+            if (String.valueOf(e.getMessage).startsWith("could not find indexes")) 404
+            else 400
+          s"""{"status":$status,"error":{"reason":${graft.operators.EsAggResponse.esc(String.valueOf(e.getMessage))}}}"""
       }
     }
     s"""{"responses":[${responses.mkString(",")}]}"""
@@ -433,6 +435,13 @@ object EsApi {
   def selectIndexes(indexes: Seq[(String, DataFrame)],
                     patterns: String): Seq[(String, DataFrame)] = {
     val pats = patterns.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    // validate every pattern UP FRONT — a malformed pattern must be a 400
+    // even when the catalog is empty (filtering alone would never reach
+    // the validator with zero indexes and answer an empty 200 instead)
+    pats.foreach { p =>
+      IndexPatterns.validate(p).left.foreach(err =>
+        throw new IllegalArgumentException(err))
+    }
     val selected = indexes.filter { case (name, _) =>
       IndexPatterns.matches(pats, name) match {
         case Right(m)  => m
@@ -453,17 +462,26 @@ object EsApi {
       df.withColumn("_index", lit(name))
     }.reduce(_ unionByName _)
 
+  /** `track_total_hits` rendering shared by every envelope form: `false`
+    * omits the total, an integer n caps the reported value at n with
+    * relation "gte" when more match, `true`/absent tracks exactly. */
+  private def totalBlockJson(body: Map[String, Any], total: Long): String =
+    body.get("track_total_hits") match {
+      case Some(false) => ""
+      case Some(n: Double) if total > n.toLong =>
+        s""""total":{"value":${n.toLong},"relation":"gte"},"""
+      case _ => s""""total":{"value":$total,"relation":"eq"},"""
+    }
+
   /** The response root_search produces over ZERO selected indexes (every
     * pattern a wildcard, none matched): zero hits, exact zero total, and
     * NO aggregations key (multi-indices/0003 second case asserts its
-    * absence). `track_total_hits: false` still omits the total. */
+    * absence). Shares [[totalBlockJson]] with [[searchPage]] so the two
+    * envelope forms can never drift. */
   def emptyPage(bodyJson: String): Page = {
     val m = graft.util.Json.parse(bodyJson).asInstanceOf[Map[String, Any]]
-    val totalBlock = m.get("track_total_hits") match {
-      case Some(false) => ""
-      case _           => """"total":{"value":0,"relation":"eq"},"""
-    }
-    Page(s"""{"timed_out":false,"hits":{$totalBlock"hits":[]}}""", None, 0L)
+    Page(s"""{"timed_out":false,"hits":{${totalBlockJson(m, 0L)}"hits":[]}}""",
+      None, 0L)
   }
 
   // ---- _msearch ----------------------------------------------------------
@@ -526,12 +544,14 @@ object EsApi {
       (f.name, t, true, t != "text")
     }
 
-  def fieldCapsResponse(index: String, caps: Seq[(String, String, Boolean, Boolean)]): String = {
-    val fields = caps.map { case (name, t, s, a) =>
-      s""""$name":{"$t":{"type":"$t","metadata_field":false,"searchable":$s,"aggregatable":$a}}"""
-    }.mkString(",")
-    s"""{"indices":["$index"],"fields":{$fields}}"""
-  }
+  /** Single-index `_field_caps` response — the same canonical renderer as
+    * the multi-index route ([[fieldCapsMulti]]), so the two endpoints can
+    * never answer different wire shapes for one index (the reference has
+    * ONE response model: Str → keyword+text dual entries, date →
+    * date_nanos, field_capability.rs:128-180). */
+  def fieldCapsResponse(index: String, df: DataFrame,
+                        resolver: FieldResolver): String =
+    fieldCapsMulti(Seq(index -> df), index, _ => resolver)
 
   /** Multi-index `_field_caps` (es_field_capabilities/0001 scenario;
     * response model model/field_capability.rs:128-180; per-index merge

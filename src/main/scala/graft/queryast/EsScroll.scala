@@ -77,6 +77,10 @@ object EsScroll {
                                    cursor: Option[Seq[Any]],
                                    total: Long,
                                    scores: Option[DataFrame],
+                                   // the tiebreak sort that made this
+                                   // scroll's cursor a TOTAL order — the
+                                   // continuation must replay it verbatim
+                                   tiebreak: Seq[(String, Boolean)],
                                    deadlineMs: Long, ttlMs: Long,
                                    lastAccessMs: Long)
 
@@ -137,12 +141,17 @@ object EsScroll {
       * cursor and total are carried NATIVELY from the page (full i64 /
       * timestamp precision — never re-parsed from the rendered JSON). */
     def search(df: DataFrame, resolver: FieldResolver, idField: String,
-               bodyJson: String, scrollTtl: String): String = {
+               bodyJson: String, scrollTtl: String): String =
+      open(df, resolver, idField, bodyJson, scrollTtl, Seq(idField -> true))
+
+    private def open(df: DataFrame, resolver: FieldResolver, idField: String,
+                     bodyJson: String, scrollTtl: String,
+                     tiebreak: Seq[(String, Boolean)]): String = {
       evictExpired()
       val ttlMs = parseTtlSecs(scrollTtl) * 1000L
       val idCol = org.apache.spark.sql.functions.col(idField)
       val page = EsApi.searchPage(df, resolver, idCol, bodyJson,
-        cursorOverride = None, extraSort = Seq(idField -> true), includeAggs = true)
+        cursorOverride = None, extraSort = tiebreak, includeAggs = true)
       // A BM25-ranked scroll materializes the corpus score aggregate ONCE
       // here (eager localCheckpoint): replaying it per continuation would
       // re-tokenize the whole index for every size-N page. This is a
@@ -150,7 +159,8 @@ object EsScroll {
       val cachedScores = page.scores.map(_.localCheckpoint())
       val sid = java.util.UUID.randomUUID().toString
       register(sid, State(Some(df), resolver, idCol, idField, bodyJson,
-        page.lastSortValues, page.total, cachedScores, clock() + ttlMs, ttlMs, clock()))
+        page.lastSortValues, page.total, cachedScores, tiebreak,
+        clock() + ttlMs, ttlMs, clock()))
       splice(sid, page.rendered)
     }
 
@@ -167,14 +177,19 @@ object EsScroll {
                     scrollTtl: String): String = {
       val selected = EsApi.selectIndexes(indexes, patterns)
       if (selected.nonEmpty)
-        search(EsApi.unionWithIndex(selected), resolver, idField, bodyJson, scrollTtl)
+        // doc ids are only unique PER INDEX (the reference's cursor carries
+        // the split in its GlobalDocAddress) — the union's tiebreak must be
+        // (id, _index) or two members sharing an id value would make the
+        // cursor non-total and silently drop the second hit across pages
+        open(EsApi.unionWithIndex(selected), resolver, idField, bodyJson,
+          scrollTtl, Seq(idField -> true, "_index" -> true))
       else {
         evictExpired()
         val ttlMs = parseTtlSecs(scrollTtl) * 1000L
         val page = EsApi.emptyPage(bodyJson)
         val sid = java.util.UUID.randomUUID().toString
         register(sid, State(None, resolver, null, idField, bodyJson,
-          None, 0L, None, clock() + ttlMs, ttlMs, clock()))
+          None, 0L, None, Nil, clock() + ttlMs, ttlMs, clock()))
         splice(sid, page.rendered)
       }
     }
@@ -196,7 +211,7 @@ object EsScroll {
       // is empty, and the cursorless replay is equally empty)
       val page = st.df match {
         case Some(df) => EsApi.searchPage(df, st.resolver, st.idCol, st.bodyJson,
-          cursorOverride = st.cursor, extraSort = Seq(st.idField -> true),
+          cursorOverride = st.cursor, extraSort = st.tiebreak,
           includeAggs = false, totalOverride = Some(st.total),
           scoresOverride = st.scores)
         case None => EsApi.emptyPage(st.bodyJson) // zero-index scroll

@@ -49,9 +49,15 @@ class EsApiSpec extends SparkTestBase {
     assert(caps("text") === (("text", true, false)))
     assert(caps("lang") === (("keyword", true, true)))
     assert(caps("doc_id") === (("long", true, true)))
-    val resp = EsApi.fieldCapsResponse("documents", EsApi.fieldCaps(docs, resolver))
-    assert(resp.contains(""""indices":["documents"]"""))
-    assert(resp.contains(""""text":{"text":{"type":"text","metadata_field":false,"searchable":true,"aggregatable":false}}"""))
+    // the single-index response goes through the SAME canonical renderer
+    // as the multi-index route — Str dual entries, one wire shape
+    val resp = graft.util.Json.parse(EsApi.fieldCapsResponse("documents", docs, resolver))
+      .asInstanceOf[Map[String, Any]]
+    assert(resp("indices") === Seq("documents"))
+    val text = resp("fields").asInstanceOf[Map[String, Any]]("text")
+      .asInstanceOf[Map[String, Any]]
+    assert(text.keySet === Set("keyword", "text"))
+    assert(text("text").asInstanceOf[Map[String, Any]]("aggregatable") === false)
   }
 
   private implicit class CapsOps(caps: Seq[(String, String, Boolean, Boolean)]) {
@@ -218,6 +224,27 @@ class EsApiSpec extends SparkTestBase {
       EsApi.msearchNdjson(indexes, resolver, col("doc_id"),
         "{\"index\": \"a**b\"}\n{}")
     }.getMessage.startsWith("request header contains an invalid index:"))
+    // ANY search-time failure is a per-response 400 entry, not a whole-
+    // request abort: a 3-field sort in the first body must not stop the
+    // second pair from answering
+    val mixed = Json.parse(EsApi.msearchNdjson(indexes, resolver, col("doc_id"),
+      """{"index": "gharchive-1"}
+        |{"sort": ["doc_id", "text", "lang"]}
+        |{"index": "gharchive-2"}
+        |{"query": {"match_all": {}}, "size": 0}""".stripMargin))
+      .asInstanceOf[Map[String, Any]]("responses").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(mixed.map(_("status")) === Seq(400.0, 200.0))
+    assert(mixed(0)("error").asInstanceOf[Map[String, Any]]("reason").asInstanceOf[String]
+      .contains("sort by field must be up to 2 fields"))
+    assert(totalOf(mixed(1)) === 1.0)
+  }
+
+  test("selectIndexes: a malformed pattern is rejected even over an EMPTY catalog") {
+    val e = intercept[IllegalArgumentException] {
+      EsApi.selectIndexes(Nil, "a**b")
+    }
+    assert(e.getMessage.contains("must not contain multiple consecutive `*`"))
   }
 
   test("_search multi-index aggs: one terms tree over the union, _key asc (multi-indices/0003)") {

@@ -128,6 +128,26 @@ class EsScrollSpec extends SparkTestBase {
     assert(total(r5) === 0.0 && hits(r5).isEmpty)
   }
 
+  test("multi-index scroll: members SHARING an id value never drop hits across pages") {
+    import spark.implicits._
+    // doc ids are only unique per index — both members carry id 7; the
+    // (id, _index) tiebreak must page BOTH, not skip the second
+    val idx1 = Seq((7L, "seven-a"), (9L, "nine-a")).toDF("id", "name")
+    val idx2 = Seq((7L, "seven-b"), (8L, "eight-b")).toDF("id", "name")
+    val ctx = new EsScroll.Context()
+    val r1 = parsed(ctx.searchMulti(Seq("dup-1" -> idx1, "dup-2" -> idx2),
+      resolver, "id", "dup-*",
+      """{"query":{"match_all":{}},"size":1,"sort":[{"id":{"order":"asc"}}]}""",
+      "30m"))
+    val sid = r1("_scroll_id").asInstanceOf[String]
+    val pages = r1 +: (1 to 4).map(_ => parsed(ctx.scroll(sid)))
+    val walked = pages.flatMap(hits).map(h =>
+      (h("_source").asInstanceOf[Map[String, Any]]("name"), h("_index")))
+    assert(walked === Seq(("seven-a", "dup-1"), ("seven-b", "dup-2"),
+      ("eight-b", "dup-2"), ("nine-a", "dup-1")))
+    assert(pages.forall(total(_) === 4.0))
+  }
+
   test("TTL over the 1800 s cap reproduces the reference error") {
     val ctx = new EsScroll.Context()
     val e = intercept[IllegalArgumentException] {
