@@ -1948,6 +1948,56 @@ object SparkEntry {
     // → re-ingest → delete (directory gone). Each transition emits one
     // oracle-visible row; file counts are PHYSICAL (walked on disk), so a
     // leaked split file breaks the hash.
+    // Source-management arc (index_api/rest_handler.rs:700-830;
+    // index_metadata/mod.rs:103-139): create a kafka source beside the
+    // three Quickwit-managed defaults, ingest through its checkpoint,
+    // toggle it off, reset the checkpoint (docs stay — only clear_index
+    // drops splits), delete it (checkpoint goes with it). Each stage's
+    // observable state is one oracle row.
+    "m_source_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-srcsvc").toString
+      val svc = new graft.publish.IndexService(root, s)
+      val id = "transcripts-src"
+      svc.createIndex(
+        s"""{"index_id": "$id",
+           | "doc_mapping": {
+           |   "mode": "dynamic",
+           |   "field_mappings": [
+           |     {"name": "text", "type": "text"},
+           |     {"name": "ts", "type": "datetime", "fast": true}]}}""".stripMargin)
+      val store = new graft.publish.Manifest.Store(svc.indexDir(id))
+      def row(stage: String): (String, Int, String, Boolean, Long) = {
+        val sources = svc.listSources(id)
+        val kafka = sources.find(_.sourceId == "kafka-source")
+        val snap = store.currentSnapshot()
+        (stage, sources.size,
+          kafka.map(k => if (k.enabled) "enabled" else "disabled").getOrElse("absent"),
+          snap.exists(_.checkpoint.contains("kafka-source")),
+          snap.map(_.splits.map(_.numDocs).sum).getOrElse(0L))
+      }
+      val rows = Seq.newBuilder[(String, Int, String, Boolean, Long)]
+      rows += row("c1_create")
+      svc.createSource(id,
+        """{"source_id": "kafka-source", "source_type": "kafka",
+          | "desired_num_pipelines": 2, "params": {"topic": "transcripts"}}""".stripMargin)
+      rows += row("c2_add")
+      svc.table(id).append(
+        transcripts(s, d).filter(col("role") === "user" && col("turn_idx") < 5),
+        graft.publish.Checkpoint.Delta(
+          Seq(graft.publish.Checkpoint.PartitionDelta("kafka-source", -1, 1))),
+        numFiles = 1)
+      rows += row("c3_ingest")
+      svc.toggleSource(id, "kafka-source", enable = false)
+      rows += row("c4_toggle")
+      svc.resetSourceCheckpoint(id, "kafka-source")
+      rows += row("c5_reset")
+      svc.deleteSource(id, "kafka-source")
+      rows += row("c6_delete")
+      rows.result().toDF("stage", "n_sources", "kafka_state", "has_cp", "num_docs")
+        .orderBy("stage")
+    }),
+
     "m_index_lifecycle" -> ((s, d) => {
       import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft-idxsvc").toString
@@ -3019,6 +3069,20 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
         |WHERE NOT (lang = 'fr' AND source = 'src2')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "m_source_lifecycle" -> (TranscriptsCte +
+      """, ingested AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM transcripts WHERE role = 'user' AND turn_idx < 5)
+        |SELECT * FROM (
+        |  SELECT 'c1_create' AS stage, CAST(3 AS INT) AS n_sources,
+        |         'absent' AS kafka_state, false AS has_cp, CAST(0 AS BIGINT) AS num_docs
+        |  UNION ALL SELECT 'c2_add', CAST(4 AS INT), 'enabled', false, CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'c3_ingest', CAST(4 AS INT), 'enabled', true, (SELECT n FROM ingested)
+        |  UNION ALL SELECT 'c4_toggle', CAST(4 AS INT), 'disabled', true, (SELECT n FROM ingested)
+        |  UNION ALL SELECT 'c5_reset', CAST(4 AS INT), 'disabled', false, (SELECT n FROM ingested)
+        |  UNION ALL SELECT 'c6_delete', CAST(3 AS INT), 'absent', false, (SELECT n FROM ingested)
+        |) ORDER BY stage""".stripMargin),
 
     "m_index_lifecycle" -> (TranscriptsCte +
       """SELECT * FROM (

@@ -86,6 +86,57 @@ object IndexService {
   /** Default sources added on every create (index.rs:126-147). */
   val DefaultSources: Seq[String] = Seq("_ingest-api-source", "_ingest-source", "_ingest-cli-source")
 
+  /** The two Quickwit-managed source ids the REST layer refuses to toggle
+    * or delete (index_api/rest_handler.rs:762,813 — the ingest-v2
+    * `_ingest-source` is deliberately NOT in the guard list there). */
+  val ManagedSourceIds: Set[String] = Set("_ingest-api-source", "_ingest-cli-source")
+
+  /** A per-index source entry (quickwit-config SourceConfig subset:
+    * source_config/mod.rs:55-75 + serialize.rs validation). */
+  final case class SourceConfig(sourceId: String, sourceType: String,
+                                enabled: Boolean,
+                                desiredNumPipelines: Int,
+                                maxNumPipelinesPerIndexer: Int,
+                                params: Map[String, Any])
+
+  private val KnownSourceTypes = Set("file", "kafka", "kinesis", "pulsar",
+    "gcp_pubsub", "ingest-api", "ingest-cli", "ingest", "vec", "void")
+
+  /** SourceConfigForSerialization::validate_and_build
+    * (source_config/serialize.rs:62-110): identifier check (reserved ids
+    * exempt), strictly-positive pipeline counts, `file` requires a
+    * filepath, multi-pipeline only for Kafka/GCP PubSub — each with the
+    * reference's error. */
+  def validateSourceConfig(json: String): SourceConfig = {
+    val o = graft.util.Json.parse(json).asInstanceOf[Map[String, Any]]
+    val sourceId = o.getOrElse("source_id",
+      throw new IllegalArgumentException("source config is missing `source_id`"))
+      .asInstanceOf[String]
+    if (!DefaultSources.contains(sourceId)) validateIdentifier("Source ID", sourceId)
+    val sourceType = o.getOrElse("source_type",
+      throw new IllegalArgumentException("source config is missing `source_type`"))
+      .asInstanceOf[String]
+    if (!KnownSourceTypes.contains(sourceType))
+      throw new IllegalArgumentException(s"unknown source type `$sourceType`")
+    val desired = o.get("desired_num_pipelines").map(_.asInstanceOf[Double].toInt).getOrElse(1)
+    if (desired <= 0)
+      throw new IllegalArgumentException("`desired_num_pipelines` must be strictly positive")
+    val maxPer = o.get("max_num_pipelines_per_indexer").map(_.asInstanceOf[Double].toInt).getOrElse(1)
+    if (maxPer <= 0)
+      throw new IllegalArgumentException("`max_num_pipelines_per_indexer` must be strictly positive")
+    val params = o.get("params").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+    if (sourceType == "file" && !params.contains("filepath"))
+      throw new IllegalArgumentException(
+        s"source `$sourceId` of type `file` must contain a filepath")
+    if (!Set("kafka", "gcp_pubsub").contains(sourceType) && (desired > 1 || maxPer > 1))
+      throw new IllegalArgumentException(
+        "Quickwit currently supports multiple pipelines only for GCP PubSub or Kafka sources. " +
+          "open an issue https://github.com/quickwit-oss/quickwit/issues if you need the " +
+          "feature for other source types")
+    SourceConfig(sourceId, sourceType,
+      o.get("enabled").forall(_.asInstanceOf[Boolean]), desired, maxPer, params)
+  }
+
   /** validate_and_build (serialize.rs:83-117): identifier → retention
     * (+ timestamp-field requirement) → doc-mapper build → merge policy. */
   def validateAndBuild(configJson: String): IndexConfig = {
@@ -233,6 +284,118 @@ final class IndexService(rootDir: String, spark: SparkSession) {
       rm(Paths.get(indexDir(indexId)))
     } finally tables.synchronized { dying -= indexId }
     infos
+  }
+
+  // ---- source management ---------------------------------------------------
+  // create/toggle/delete/reset-checkpoint over per-index source configs
+  // (index_api/rest_handler.rs:700-830; metastore arms
+  // index_metadata/mod.rs:103-139; validation source_config/serialize.rs).
+
+  private def sourcesPath(indexId: String): Path =
+    Paths.get(indexDir(indexId), "sources.json")
+
+  private def writeSources(indexId: String, ss: Seq[SourceConfig]): Unit = {
+    val json = graft.util.Json.render(ss.map(s => Map(
+      "source_id" -> s.sourceId, "source_type" -> s.sourceType,
+      "enabled" -> s.enabled,
+      "desired_num_pipelines" -> s.desiredNumPipelines.toDouble,
+      "max_num_pipelines_per_indexer" -> s.maxNumPipelinesPerIndexer.toDouble,
+      "params" -> s.params)))
+    Files.write(sourcesPath(indexId), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The index's sources; the three Quickwit-managed defaults are seeded
+    * on first access of a pre-sources index (index.rs:126-147 registers
+    * them at create). */
+  def listSources(indexId: String): Seq[SourceConfig] = {
+    if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
+    if (!Files.exists(sourcesPath(indexId))) {
+      val typeOf = Map("_ingest-api-source" -> "ingest-api",
+        "_ingest-source" -> "ingest", "_ingest-cli-source" -> "ingest-cli")
+      val defaults = DefaultSources.map(id =>
+        SourceConfig(id, typeOf(id), enabled = true, 1, 1, Map.empty))
+      writeSources(indexId, defaults)
+    }
+    graft.util.Json.parse(
+      new String(Files.readAllBytes(sourcesPath(indexId)), StandardCharsets.UTF_8))
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]]).map { m =>
+        SourceConfig(m("source_id").asInstanceOf[String],
+          m("source_type").asInstanceOf[String],
+          m("enabled").asInstanceOf[Boolean],
+          m("desired_num_pipelines").asInstanceOf[Double].toInt,
+          m("max_num_pipelines_per_indexer").asInstanceOf[Double].toInt,
+          m("params").asInstanceOf[Map[String, Any]])
+      }
+  }
+
+  /** create_source (index.rs:333-365): the EXTRA identifier check runs
+    * WITHOUT the reserved exemption — a user can never create `_`-prefixed
+    * ids ("invalid source ID"); duplicates answer the metastore's
+    * AlreadyExists ("already exist(s)", index_metadata/mod.rs:103-115). */
+  def createSource(indexId: String, sourceConfigJson: String): SourceConfig = {
+    val cfg = validateSourceConfig(sourceConfigJson)
+    try validateIdentifier("Source ID", cfg.sourceId)
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"invalid source ID: `${cfg.sourceId}`")
+    }
+    val existing = listSources(indexId)
+    if (existing.exists(_.sourceId == cfg.sourceId))
+      throw new IllegalArgumentException(
+        s"source `$indexId/${cfg.sourceId}` already exist(s)")
+    writeSources(indexId, existing :+ cfg)
+    cfg
+  }
+
+  /** toggle_source (rest_handler.rs:749-775): Quickwit-managed sources
+    * refuse with OperationNotAllowed; unknown ids answer NotFound; returns
+    * whether a mutation occurred (enabled actually changed). */
+  def toggleSource(indexId: String, sourceId: String, enable: Boolean): Boolean = {
+    if (ManagedSourceIds.contains(sourceId))
+      throw new IllegalArgumentException(
+        s"source `$sourceId` is managed by Quickwit, you cannot enable or disable a source " +
+          "managed by Quickwit")
+    val existing = listSources(indexId)
+    val src = existing.find(_.sourceId == sourceId).getOrElse(
+      throw new IllegalArgumentException(s"source `$indexId/$sourceId` do(es) not exist"))
+    val mutated = src.enabled != enable
+    if (mutated)
+      writeSources(indexId, existing.map(s =>
+        if (s.sourceId == sourceId) s.copy(enabled = enable) else s))
+    mutated
+  }
+
+  /** delete_source (rest_handler.rs:777-826 + index_metadata delete_source):
+    * managed sources refuse; the source's checkpoint entry is removed with
+    * it (checkpoint.remove_source). */
+  def deleteSource(indexId: String, sourceId: String): Unit = {
+    if (ManagedSourceIds.contains(sourceId))
+      throw new IllegalArgumentException(
+        s"source `$sourceId` is managed by Quickwit, you cannot delete a source managed by " +
+          "Quickwit")
+    val existing = listSources(indexId)
+    if (!existing.exists(_.sourceId == sourceId))
+      throw new IllegalArgumentException(s"source `$indexId/$sourceId` do(es) not exist")
+    writeSources(indexId, existing.filterNot(_.sourceId == sourceId))
+    resetSourceCheckpoint(indexId, sourceId)
+  }
+
+  /** reset_source_checkpoint (file_backed_index/mod.rs:491-493): drop the
+    * source's checkpoint entry from the manifest — the next ingest from
+    * that source starts from the beginning; no error for an unknown id
+    * (reset_source returns a mutation bool). Commits through the same CAS
+    * as any publish. */
+  def resetSourceCheckpoint(indexId: String, sourceId: String): Boolean = {
+    if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
+    val store = new Manifest.Store(indexDir(indexId))
+    store.currentSnapshot() match {
+      case Some(snap) if snap.checkpoint.contains(sourceId) =>
+        store.commitSnapshot(
+          Manifest.Snapshot(snap.snapshotId + 1, snap.splits, snap.checkpoint - sourceId))
+          .left.foreach(e =>
+            throw new IllegalStateException(s"reset_source_checkpoint lost the commit race: $e"))
+        true
+      case _ => false
+    }
   }
 
   /** CLI `index describe` over the current published splits. */

@@ -64,13 +64,95 @@ class IndexServiceSpec extends SparkTestBase {
       "timestamp field `ts` should be a fast field")
   }
 
-  private def delta(from: Long, to: Long) =
-    Checkpoint.Delta(Seq(Checkpoint.PartitionDelta("src", from, to)))
+  private def delta(from: Long, to: Long, key: String = "src") =
+    Checkpoint.Delta(Seq(Checkpoint.PartitionDelta(key, from, to)))
 
-  private def ingest(svc: IndexService, id: String, n: Int, from: Long = -1L, to: Long = 1L): Unit = {
+  private def ingest(svc: IndexService, id: String, n: Int, from: Long = -1L, to: Long = 1L,
+                     sourceId: String = "src"): Unit = {
     import spark.implicits._
     val df = TranscriptGen.turns(numConvs = n, avgTurns = 3).toDS().toDF()
-    svc.table(id).append(df, delta(from, to), numFiles = 2)
+    svc.table(id).append(df, delta(from, to, sourceId), numFiles = 2)
+  }
+
+  test("source management: create/toggle/delete/reset-checkpoint with the reference errors") {
+    val root = tmpDir("idx-src")
+    val svc = new IndexService(root, spark)
+    svc.createIndex(ValidConfig)
+    // the three Quickwit-managed defaults are present and enabled
+    assert(svc.listSources("my-index").map(_.sourceId) === IndexService.DefaultSources)
+    assert(svc.listSources("my-index").forall(_.enabled))
+
+    // validation: the reference's exact errors
+    def rejectSrc(json: String): String =
+      intercept[IllegalArgumentException](svc.createSource("my-index", json)).getMessage
+    // the serde-level identifier check fires first for plainly-invalid ids
+    // (serialize.rs:73-74); the "invalid source ID" wrap is create_source's
+    // EXTRA check (index.rs:342-344), which only the serde-exempt RESERVED
+    // ids can reach — a user can never create a Quickwit-managed id
+    assert(rejectSrc("""{"source_id": "f", "source_type": "file", "params": {}}""")
+      .startsWith("Source ID identifier `f` is invalid"))
+    assert(rejectSrc("""{"source_id": "_sneaky", "source_type": "void", "params": {}}""")
+      .startsWith("Source ID identifier `_sneaky` is invalid"))
+    assert(rejectSrc("""{"source_id": "_ingest-api-source", "source_type": "void", "params": {}}""")
+      === "invalid source ID: `_ingest-api-source`")
+    assert(rejectSrc("""{"source_id": "my-file", "source_type": "file", "params": {}}""")
+      === "source `my-file` of type `file` must contain a filepath")
+    assert(rejectSrc(
+      """{"source_id": "my-kin", "source_type": "kinesis", "desired_num_pipelines": 2,
+        | "params": {}}""".stripMargin).startsWith(
+      "Quickwit currently supports multiple pipelines only for GCP PubSub or Kafka sources"))
+    assert(rejectSrc(
+      """{"source_id": "my-k", "source_type": "kafka", "desired_num_pipelines": 0,
+        | "params": {}}""".stripMargin)
+      === "`desired_num_pipelines` must be strictly positive")
+
+    // happy path: kafka source with 2 pipelines; duplicate → AlreadyExists
+    val kafka = svc.createSource("my-index",
+      """{"source_id": "kafka-source", "source_type": "kafka",
+        | "desired_num_pipelines": 2, "max_num_pipelines_per_indexer": 2,
+        | "params": {"topic": "t1"}}""".stripMargin)
+    assert(kafka.enabled && kafka.desiredNumPipelines === 2)
+    assert(intercept[IllegalArgumentException] {
+      svc.createSource("my-index",
+        """{"source_id": "kafka-source", "source_type": "kafka", "params": {}}""")
+    }.getMessage === "source `my-index/kafka-source` already exist(s)")
+
+    // toggle: mutation bool; managed sources refuse; unknown → NotFound
+    assert(svc.toggleSource("my-index", "kafka-source", enable = false) === true)
+    assert(svc.listSources("my-index").find(_.sourceId == "kafka-source").exists(!_.enabled))
+    assert(svc.toggleSource("my-index", "kafka-source", enable = false) === false) // no-op
+    assert(intercept[IllegalArgumentException] {
+      svc.toggleSource("my-index", "_ingest-api-source", enable = false)
+    }.getMessage === "source `_ingest-api-source` is managed by Quickwit, you cannot " +
+      "enable or disable a source managed by Quickwit")
+    assert(intercept[IllegalArgumentException] {
+      svc.toggleSource("my-index", "nope-source", enable = true)
+    }.getMessage === "source `my-index/nope-source` do(es) not exist")
+
+    // checkpoint reset: ingest through the kafka source id, then reset
+    ingest(svc, "my-index", n = 10, sourceId = "kafka-source")
+    val store = new Manifest.Store(svc.indexDir("my-index"))
+    assert(store.currentSnapshot().get.checkpoint.contains("kafka-source"))
+    assert(svc.resetSourceCheckpoint("my-index", "kafka-source") === true)
+    assert(!store.currentSnapshot().get.checkpoint.contains("kafka-source"))
+    assert(svc.resetSourceCheckpoint("my-index", "kafka-source") === false) // already gone
+    // the docs themselves stay — only the checkpoint resets (clear_index
+    // is the one that drops splits)
+    assert(store.currentSnapshot().get.splits.nonEmpty)
+
+    // delete: removes the source AND its checkpoint; managed ones refuse
+    ingest(svc, "my-index", n = 5, sourceId = "kafka-source")
+    assert(store.currentSnapshot().get.checkpoint.contains("kafka-source"))
+    svc.deleteSource("my-index", "kafka-source")
+    assert(!svc.listSources("my-index").exists(_.sourceId == "kafka-source"))
+    assert(!store.currentSnapshot().get.checkpoint.contains("kafka-source"))
+    assert(intercept[IllegalArgumentException] {
+      svc.deleteSource("my-index", "kafka-source")
+    }.getMessage === "source `my-index/kafka-source` do(es) not exist")
+    assert(intercept[IllegalArgumentException] {
+      svc.deleteSource("my-index", "_ingest-cli-source")
+    }.getMessage === "source `_ingest-cli-source` is managed by Quickwit, you cannot " +
+      "delete a source managed by Quickwit")
   }
 
   test("create → ingest → describe → clear → re-ingest → delete") {
