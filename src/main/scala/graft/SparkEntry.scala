@@ -1358,6 +1358,23 @@ object SparkEntry {
         ("events", t(s, d, "events"), col("event_type"))))
         .orderBy("index")),
 
+    // `POST /analyze` (index_api/rest_handler.rs analyze_request): ad-hoc
+    // tokenizer config + text → tantivy Token rows with BYTE offsets; the
+    // rendered JSON parses back out so the oracle pins the wire shape.
+    "t_analyze" -> ((s, d) => {
+      import s.implicits._
+      val rendered = graft.functions.Analyze.analyzeJson(
+        """{"type": "source_code", "text": "QuickwitSearch42 héllo",
+          | "filters": ["lower_caser", "ascii_folding"]}""".stripMargin, s)
+      graft.util.Json.parse(rendered).asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+        .map(m => (m("position").asInstanceOf[Double].toInt,
+          m("text").asInstanceOf[String],
+          m("offset_from").asInstanceOf[Double].toLong,
+          m("offset_to").asInstanceOf[Double].toLong))
+        .toDF("position", "token", "offset_from", "offset_to")
+    }),
+
     // ---- more tokenizers -------------------------------------------------
     "t_whitespace" -> ((s, d) =>
       t(s, d, "documents")
@@ -2906,6 +2923,15 @@ object SparkEntry {
         |  coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |            FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 10)), '')
         |ORDER BY query_idx""".stripMargin,
+
+    "t_analyze" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INT), 'quickwit', CAST(0 AS BIGINT), CAST(8 AS BIGINT)),
+        |  (CAST(1 AS INT), 'search', CAST(8 AS BIGINT), CAST(14 AS BIGINT)),
+        |  (CAST(2 AS INT), '42', CAST(14 AS BIGINT), CAST(16 AS BIGINT)),
+        |  (CAST(3 AS INT), 'hello', CAST(17 AS BIGINT), CAST(23 AS BIGINT))
+        |) AS t(position, token, offset_from, offset_to)
+        |ORDER BY position""".stripMargin,
 
     "es_msearch_ndjson" ->
       """SELECT * FROM (

@@ -56,8 +56,11 @@ object TokenizerRegistry {
     case Simple =>
       // tantivy SimpleTokenizer: split at non-alphanumeric, no casing
       filter(split(coalesce(c, lit("")), "[^\\p{L}\\p{N}]+"), x => x =!= "")
-    case SourceCode => Tokenizers.sourceCode(c)
-    case Multilang  => Tokenizers.multilang(c)
+    // the TYPE compiles to the BARE tokenizer — no implicit filters
+    // (tokenizer_entry.rs:49-68); the registered `source_code_default` /
+    // `multilang` NAMES carry their own chains in Tokenizers.byName
+    case SourceCode => Tokenizers.sourceCodeBare(c)
+    case Multilang  => Tokenizers.multilangBare(c)
     case Ngram(minG, maxG, prefixOnly) =>
       val s = coalesce(c, lit(""))
       val len = length(s)

@@ -41,6 +41,12 @@ object Tokenizers {
   def whitespace(c: Column): Column =
     filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "" && length(t) <= MaxTokenLen)
 
+  /** The BARE SimpleTokenizer: split at non-alphanumeric, NO filters —
+    * casing preserved, no length cap (the custom-registry base shape;
+    * filters come from the config). */
+  def simpleSplit(c: Column): Column =
+    filter(split(coalesce(c, lit("")), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
   /** source_code_default: the reference's CodeTokenizer char-class state
     * machine (code_tokenizer.rs:96-237) re-expressed as break-inserting
     * regexes, then RemoveLong + LowerCaser + AsciiFolding via `default`
@@ -51,17 +57,23 @@ object Tokenizers {
     * except a SINGLE leading upper absorbed by a lower run ("Pig"), with
     * an upper run splitting before its last char when a lower follows
     * ("ABCa" → "AB","Ca" — code_tokenizer.rs:145-166). */
-  def sourceCode(c: Column): Column = {
+  private def codeBreaks(c: Column): Column = {
     val lowerCls = "[\\p{L}&&[^\\p{Lu}]]" // Rust LowerCase class: alphabetic, not uppercase
-    val broken = regexp_replace(
+    regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(coalesce(c, lit("")), s"(\\p{Lu})(\\p{Lu}$lowerCls)", "$1 $2"),
           s"($lowerCls)(\\p{Lu})", "$1 $2"),
         "(\\p{L})(\\p{N})", "$1 $2"),
       "(\\p{N})(\\p{L})", "$1 $2")
-    default(asciiFold(broken))
   }
+
+  /** The BARE CodeTokenizer — the custom-registry `source_code` TYPE
+    * (tokenizer_entry.rs:57: `TextAnalyzer::builder(CodeTokenizer)` with
+    * NO implicit filters — casing preserved; config filters apply after). */
+  def sourceCodeBare(c: Column): Column = simpleSplit(codeBreaks(c))
+
+  def sourceCode(c: Column): Column = default(asciiFold(codeBreaks(c)))
 
   /** ascii folding for the common latin-1 accents (é→e etc.) — shared by
     * `source_code_default` and the custom-registry `ascii_folding` filter. */
@@ -185,6 +197,26 @@ object Tokenizers {
       .when(lang === "jpn", default(jpnSegment(body)))
       .when(lang === "kor", default(korSegment(body)))
       .otherwise(default(body))
+  }
+
+  /** The BARE MultiLangTokenizer — the custom-registry `multilang` TYPE
+    * (tokenizer_entry.rs:53-55: the tokenizer alone, NO implicit filters;
+    * the registered `multilang_default` chain adds RemoveLong+LowerCaser,
+    * tokenizers/mod.rs:85-93). Same dispatch and segmentation as
+    * [[multilang]], but casing preserved and no length cap. */
+  def multilangBare(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val prefix = substring(t, 1, 4)
+    val body = when(prefix.isin("ENG:", "CMN:", "JPN:", "KOR:"), substring(t, 5, Int.MaxValue))
+      .otherwise(t)
+    val lang = when(prefix === "ENG:", "eng").when(prefix === "CMN:", "cmn")
+      .when(prefix === "JPN:", "jpn").when(prefix === "KOR:", "kor")
+      .otherwise(LangDetect.detectLanguage(body))
+    val cjk = "[\\x{4500}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2CEAF}]"
+    when(lang === "cmn", simpleSplit(regexp_replace(body, s"($cjk)", " $1 ")))
+      .when(lang === "jpn", simpleSplit(jpnSegment(body)))
+      .when(lang === "kor", simpleSplit(korSegment(body)))
+      .otherwise(simpleSplit(body))
   }
 
   /** Tokenizer lookup by reference name. */
