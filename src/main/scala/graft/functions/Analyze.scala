@@ -121,34 +121,53 @@ object Analyze {
   }
 
   /** Tokens from a column-side segmenter, offsets recovered by locating
-    * each token left-to-right (both segmenters split without transforming,
-    * so every token appears verbatim at/after the previous one's end). */
-  private def viaColumn(fn: Column => Column, text: String,
+    * each token left-to-right in `locateIn` — the BODY for prefixed
+    * multilang inputs (the reference's MultiLangTokenizer strips the
+    * `ENG:`/`CMN:`/`JPN:`/`KOR:` prefix before tokenizing, so offsets are
+    * body-relative and 0-based). The segmenters split without transforming
+    * EXCEPT the documented Korean un-fused conjugations (합니다 → 하 ㅂ니다,
+    * Tokenizers.korSegment) whose tokens have no verbatim source span —
+    * those fall back to a monotone approximation: a span starting at the
+    * previous token's end, as wide as the token, clamped to the text.
+    * `evalText` (the full input, prefix included) is what the column
+    * function sees, so an explicit language override still applies. */
+  private def viaColumn(fn: Column => Column, evalText: String, locateIn: String,
                         spark: SparkSession): Seq[Token] = {
     import spark.implicits._
-    val toks = Seq(text).toDF("t").select(fn(col("t")).as("toks"))
+    val toks = Seq(evalText).toDF("t").select(fn(col("t")).as("toks"))
       .collect()(0).getSeq[String](0)
-    val (_, offs) = codePoints(text)
-    def byteOffOfCharIdx(charIdx: Int): Int = offs(text.codePointCount(0, charIdx))
+    val (_, offs) = codePoints(locateIn)
+    val nCp = offs.size - 1
+    def byteOffOfCharIdx(charIdx: Int): Int = offs(locateIn.codePointCount(0, charIdx))
     var from = 0
     toks.zipWithIndex.map { case (t, pos) =>
-      val at = text.indexOf(t, from)
-      require(at >= 0, s"token `$t` not found in source text")
-      from = at + t.length
-      Token(t, pos, byteOffOfCharIdx(at), byteOffOfCharIdx(at + t.length))
+      val at = locateIn.indexOf(t, from)
+      if (at >= 0) {
+        from = at + t.length
+        Token(t, pos, byteOffOfCharIdx(at), byteOffOfCharIdx(at + t.length))
+      } else {
+        val start = math.min(from, locateIn.length)
+        val end = math.min(start + t.length, locateIn.length)
+        from = end
+        Token(t, pos, byteOffOfCharIdx(start), byteOffOfCharIdx(end))
+      }
     }
   }
 
-  private val FoldFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
-  private val FoldTo   = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+  private def stripLangPrefix(text: String): String =
+    if (text.length >= 4 && Set("ENG:", "CMN:", "JPN:", "KOR:")(text.substring(0, 4)))
+      text.substring(4)
+    else text
 
   private def applyFilter(f: TokenFilter, toks: Seq[Token]): Seq[Token] = f match {
     case RemoveLong => toks.filter(t => byteLen(t.text) < 255)
     case LowerCaser =>
       toks.map(t => t.copy(text = t.text.toLowerCase(java.util.Locale.ROOT)))
     case AsciiFolding => toks.map { t =>
+      // the SAME fold tables as the column-side filter (Tokenizers)
       t.copy(text = t.text.map { c =>
-        val i = FoldFrom.indexOf(c.toInt); if (i >= 0) FoldTo(i) else c
+        val i = Tokenizers.AsciiFoldFrom.indexOf(c.toInt)
+        if (i >= 0) Tokenizers.AsciiFoldTo(i) else c
       })
     }
   }
@@ -159,8 +178,10 @@ object Analyze {
       case Simple                 => simpleTokens(text)
       case Ngram(minG, maxG, po)  => ngramTokens(text, minG, maxG, po)
       case Regex(pattern)         => regexTokens(text, pattern)
-      case SourceCode             => viaColumn(Tokenizers.sourceCodeBare, text, spark)
-      case Multilang              => viaColumn(Tokenizers.multilangBare, text, spark)
+      case SourceCode =>
+        viaColumn(Tokenizers.sourceCodeBare, text, text, spark)
+      case Multilang =>
+        viaColumn(Tokenizers.multilangBare, text, stripLangPrefix(text), spark)
     }
     cfg.filters.foldLeft(base)((acc, f) => applyFilter(f, acc))
   }

@@ -55,7 +55,7 @@ object TokenizerRegistry {
   private def baseTokens(t: TokenizerType)(c: Column): Column = t match {
     case Simple =>
       // tantivy SimpleTokenizer: split at non-alphanumeric, no casing
-      filter(split(coalesce(c, lit("")), "[^\\p{L}\\p{N}]+"), x => x =!= "")
+      Tokenizers.simpleSplit(c)
     // the TYPE compiles to the BARE tokenizer — no implicit filters
     // (tokenizer_entry.rs:49-68); the registered `source_code_default` /
     // `multilang` NAMES carry their own chains in Tokenizers.byName

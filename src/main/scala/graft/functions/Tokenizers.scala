@@ -75,11 +75,15 @@ object Tokenizers {
 
   def sourceCode(c: Column): Column = default(asciiFold(codeBreaks(c)))
 
+  /** The accent-fold tables — ONE definition shared by the column-side
+    * [[asciiFold]] and the analyze endpoint's scalar twin
+    * ([[Analyze]]), so the two can never drift. */
+  val AsciiFoldFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+  val AsciiFoldTo   = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
   /** ascii folding for the common latin-1 accents (é→e etc.) — shared by
     * `source_code_default` and the custom-registry `ascii_folding` filter. */
-  def asciiFold(c: Column): Column = translate(c,
-    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ",
-    "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY")
+  def asciiFold(c: Column): Column = translate(c, AsciiFoldFrom, AsciiFoldTo)
 
   /** en_stem: default + the REAL Porter stemmer (tantivy's
     * Stemmer(Language::English) = Porter; TokenizersSpec pins the published
@@ -112,10 +116,16 @@ object Tokenizers {
     * on the main ideograph block (chinese_compatible.rs:56). Expressed as a
     * codegen'd space-insertion around CJK chars followed by the `default`
     * split (CJK ideographs are \p{L}, so each becomes a 1-char token). */
-  def chineseCompatible(c: Column): Column = {
-    val cjk = "[\\x{4500}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2CEAF}]"
-    default(regexp_replace(coalesce(c, lit("")), s"($cjk)", " $1 "))
-  }
+  /** The reference's CJK char-class — including its quirky 4500 (not
+    * 4E00) lower bound (chinese_compatible.rs:56). ONE definition shared
+    * by [[chineseCompatible]] and both multilang variants. */
+  private val CjkRange =
+    "[\\x{4500}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2CEAF}]"
+
+  private def cjkBreaks(c: Column): Column =
+    regexp_replace(coalesce(c, lit("")), s"($CjkRange)", " $1 ")
+
+  def chineseCompatible(c: Column): Column = default(cjkBreaks(c))
 
   /** Japanese segmentation with an embedded ipadic-shaped dictionary
     * slice ([[JpnLexicon]]) — the reference links Lindera's ipadic
@@ -185,7 +195,10 @@ object Tokenizers {
     * dispatch shape, prefix contract and CMN/ENG paths match — all non-CJK
     * languages take the default analyzer, exactly as the reference's
     * `_ => SimpleTokenizer` arm. */
-  def multilang(c: Column): Column = {
+  /** ONE prefix-strip + language when-chain for both multilang variants:
+    * `wrap` is the per-language finishing analyzer applied to the
+    * segmented body. */
+  private def multilangWith(c: Column)(wrap: Column => Column): Column = {
     val t = coalesce(c, lit(""))
     val prefix = substring(t, 1, 4)
     val body = when(prefix.isin("ENG:", "CMN:", "JPN:", "KOR:"), substring(t, 5, Int.MaxValue))
@@ -193,31 +206,20 @@ object Tokenizers {
     val lang = when(prefix === "ENG:", "eng").when(prefix === "CMN:", "cmn")
       .when(prefix === "JPN:", "jpn").when(prefix === "KOR:", "kor")
       .otherwise(LangDetect.detectLanguage(body))
-    when(lang === "cmn", chineseCompatible(body))
-      .when(lang === "jpn", default(jpnSegment(body)))
-      .when(lang === "kor", default(korSegment(body)))
-      .otherwise(default(body))
+    when(lang === "cmn", wrap(cjkBreaks(body)))
+      .when(lang === "jpn", wrap(jpnSegment(body)))
+      .when(lang === "kor", wrap(korSegment(body)))
+      .otherwise(wrap(body))
   }
+
+  def multilang(c: Column): Column = multilangWith(c)(default)
 
   /** The BARE MultiLangTokenizer — the custom-registry `multilang` TYPE
     * (tokenizer_entry.rs:53-55: the tokenizer alone, NO implicit filters;
     * the registered `multilang_default` chain adds RemoveLong+LowerCaser,
     * tokenizers/mod.rs:85-93). Same dispatch and segmentation as
     * [[multilang]], but casing preserved and no length cap. */
-  def multilangBare(c: Column): Column = {
-    val t = coalesce(c, lit(""))
-    val prefix = substring(t, 1, 4)
-    val body = when(prefix.isin("ENG:", "CMN:", "JPN:", "KOR:"), substring(t, 5, Int.MaxValue))
-      .otherwise(t)
-    val lang = when(prefix === "ENG:", "eng").when(prefix === "CMN:", "cmn")
-      .when(prefix === "JPN:", "jpn").when(prefix === "KOR:", "kor")
-      .otherwise(LangDetect.detectLanguage(body))
-    val cjk = "[\\x{4500}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2CEAF}]"
-    when(lang === "cmn", simpleSplit(regexp_replace(body, s"($cjk)", " $1 ")))
-      .when(lang === "jpn", simpleSplit(jpnSegment(body)))
-      .when(lang === "kor", simpleSplit(korSegment(body)))
-      .otherwise(simpleSplit(body))
-  }
+  def multilangBare(c: Column): Column = multilangWith(c)(simpleSplit)
 
   /** Tokenizer lookup by reference name. */
   def byName(name: String): Column => Column = name match {

@@ -375,27 +375,41 @@ final class IndexService(rootDir: String, spark: SparkSession) {
     val existing = listSources(indexId)
     if (!existing.exists(_.sourceId == sourceId))
       throw new IllegalArgumentException(s"source `$indexId/$sourceId` do(es) not exist")
-    writeSources(indexId, existing.filterNot(_.sourceId == sourceId))
+    // checkpoint FIRST, source list second: if the write never happens
+    // (crash), a listed source with a reset checkpoint is a valid state —
+    // the reverse order could leave a DELETED source whose checkpoint
+    // survives (the reference removes both in one metastore mutation)
     resetSourceCheckpoint(indexId, sourceId)
+    writeSources(indexId, existing.filterNot(_.sourceId == sourceId))
   }
 
   /** reset_source_checkpoint (file_backed_index/mod.rs:491-493): drop the
     * source's checkpoint entry from the manifest — the next ingest from
     * that source starts from the beginning; no error for an unknown id
     * (reset_source returns a mutation bool). Commits through the same CAS
-    * as any publish. */
+    * as any publish; a lost race RETRIES against the fresh snapshot (the
+    * removal is key-local, so it composes with any concurrent publish). */
   def resetSourceCheckpoint(indexId: String, sourceId: String): Boolean = {
     if (!exists(indexId)) throw new IllegalArgumentException(s"index not found: `$indexId`")
     val store = new Manifest.Store(indexDir(indexId))
-    store.currentSnapshot() match {
-      case Some(snap) if snap.checkpoint.contains(sourceId) =>
-        store.commitSnapshot(
-          Manifest.Snapshot(snap.snapshotId + 1, snap.splits, snap.checkpoint - sourceId))
-          .left.foreach(e =>
-            throw new IllegalStateException(s"reset_source_checkpoint lost the commit race: $e"))
-        true
-      case _ => false
+    val MaxRetries = 16
+    var attempt = 0
+    while (true) {
+      store.currentSnapshot() match {
+        case Some(snap) if snap.checkpoint.contains(sourceId) =>
+          store.commitSnapshot(
+            Manifest.Snapshot(snap.snapshotId + 1, snap.splits, snap.checkpoint - sourceId)) match {
+            case Right(_) => return true
+            case Left(e) =>
+              attempt += 1
+              if (attempt >= MaxRetries)
+                throw new IllegalStateException(
+                  s"reset_source_checkpoint kept losing the commit race: $e")
+          }
+        case _ => return false
+      }
     }
+    false // unreachable
   }
 
   /** CLI `index describe` over the current published splits. */

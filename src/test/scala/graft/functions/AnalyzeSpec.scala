@@ -65,6 +65,31 @@ class AnalyzeSpec extends SparkTestBase {
     assert(code.map(_("position")) === Seq(0.0, 1.0, 2.0, 3.0))
   }
 
+  test("multilang: prefixed input tokenizes the BODY — offsets are body-relative") {
+    // the reference's MultiLangTokenizer strips the language prefix before
+    // tokenizing, so offsets start at 0 in the body, not at byte 4
+    val got = run("""{"type": "multilang", "text": "ENG:Hello World"}""")
+    assert(got.map(m => (m("text"), m("offset_from"), m("offset_to"))) ===
+      Seq(("Hello", 0.0, 5.0), ("World", 6.0, 11.0)))
+  }
+
+  test("multilang: un-fused Korean conjugations never crash — offsets stay monotone") {
+    // korSegment's lexicon rewrites produce tokens with no verbatim source
+    // span (합니다 → 하/ㅂ니다); analyze must answer a monotone approximation
+    val got = run("""{"type": "multilang", "text": "KOR:한국어를 공부합니다"}""")
+    assert(got.nonEmpty)
+    val spans = got.map(m =>
+      (m("offset_from").asInstanceOf[Double], m("offset_to").asInstanceOf[Double]))
+    assert(spans.sliding(2).forall {
+      case Seq((_, e1), (s2, _)) => s2 >= e1
+      case _ => true
+    })
+    assert(spans.forall { case (s, e) => s >= 0 && e <= byteLenOf("한국어를 공부합니다") })
+  }
+
+  private def byteLenOf(s: String): Int =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+
   test("config errors reuse the tokenizer-entry parser") {
     assert(intercept[IllegalArgumentException] {
       Analyze.analyzeJson("""{"type": "nope", "text": "x"}""", spark)
