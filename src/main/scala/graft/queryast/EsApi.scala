@@ -115,7 +115,17 @@ object EsApi {
     }
     val withFrom = params.get("from").fold(withQ)(f => withQ + ("from" -> f.toDouble))
     val withSize = params.get("size").fold(withFrom)(s => withFrom + ("size" -> s.toDouble))
-    val withSort = params.get("sort").fold(withSize) { s =>
+    // track_total_hits is ALSO a query-string param (SearchQueryParams):
+    // boolean words or an integer cap, same semantics as the body form
+    val withTth = params.get("track_total_hits").fold(withSize) { v =>
+      val parsed: Any = v match {
+        case "true"  => true
+        case "false" => false
+        case n       => n.toDouble
+      }
+      withSize + ("track_total_hits" -> parsed)
+    }
+    val withSort = params.get("sort").fold(withTth) { s =>
       val fields: Seq[Any] = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { sf =>
         sf.indexOf(':') match {
           case -1 =>
@@ -132,7 +142,7 @@ object EsApi {
             Map(f -> Map("order" -> ord)): Any
         }
       }
-      withSize + ("sort" -> fields)
+      withTth + ("sort" -> fields)
     }
     search(df, resolver, id, graft.util.Json.render(withSort))
   }

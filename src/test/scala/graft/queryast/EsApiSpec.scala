@@ -305,6 +305,12 @@ class EsApiSpec extends SparkTestBase {
     val paged = run(Map("sort" -> "doc_id", "from" -> "1", "size" -> "2"),
       """{"from": 0, "size": 100}""")
     assert(ids(paged) === Seq(2.0, 3.0))
+    // track_total_hits is also a URL param: false omits, int caps with gte
+    val noTotal = run(Map("track_total_hits" -> "false", "sort" -> "doc_id"))
+    assert(!noTotal("hits").asInstanceOf[Map[String, Any]].contains("total"))
+    val capped = run(Map("track_total_hits" -> "2", "sort" -> "doc_id"))
+    assert(capped("hits").asInstanceOf[Map[String, Any]]("total") ===
+      Map("value" -> 2.0, "relation" -> "gte"))
   }
 
   test("_field_caps multi-index: dual keyword/text, date_nanos, indices attribution, patterns") {
