@@ -74,11 +74,21 @@ object SplitSealing {
   /** Sealed-split accounting: docs per split + the recorded commit trigger.
     * A split with exactly `numDocsTarget` docs sealed on the doc limit; the
     * partition's tail split sealed on drain. */
+  val ForceCommit = "force_commit"    // indexed_split.rs:171 CommitTrigger::ForceCommit
+
+  /** `forceCommit = true` (a `?refresh`/`?refresh=true` bulk, or the ingest
+    * API's `commit=force`) seals each partition's in-progress TAIL split
+    * with the ForceCommit trigger instead of Drained — the reference's
+    * indexer commits the open split immediately after the batch's last doc
+    * (bulk.rs:128 CommitType::Force). Full splits still record the
+    * num-docs limit: force only names why the PARTIAL one sealed. */
   def sealedSplits(df: DataFrame, partitionCol: Column, numDocsTarget: Long,
-                   chunkCol: Column = defaultChunk): DataFrame =
+                   chunkCol: Column = defaultChunk,
+                   forceCommit: Boolean = false): DataFrame =
     withSplitSeq(df, partitionCol, numDocsTarget, chunkCol)
       .groupBy(partitionCol.as("partition_id"), col("split_seq"))
       .agg(count(lit(1)).as("num_docs"))
       .withColumn("commit_trigger",
-        when(col("num_docs") === numDocsTarget, NumDocsLimit).otherwise(Drained))
+        when(col("num_docs") === numDocsTarget, NumDocsLimit)
+          .otherwise(if (forceCommit) ForceCommit else Drained))
 }

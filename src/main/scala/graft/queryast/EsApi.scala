@@ -647,6 +647,33 @@ object EsApi {
   }
 
   // ---- _bulk ---------------------------------------------------------------
+
+  /** The commit mode a bulk's `?refresh` resolves to (quickwit
+    * CommitType, bulk.rs:128): `Auto` rides the scheduled commit, `Force`
+    * seals the in-progress split right after the batch, `WaitFor` blocks
+    * until the next scheduled commit lands. */
+  sealed trait CommitType
+  case object CommitAuto extends CommitType
+  case object CommitForce extends CommitType
+  case object CommitWaitFor extends CommitType
+
+  /** `?refresh` for `_bulk` (model/bulk_query_params.rs:24-62 — the
+    * backward-compat syntax its own comment calls confusing): an ABSENT
+    * parameter or `refresh=false` → Auto; a PRESENT parameter with no
+    * value (`?refresh`), an empty value, or `true` → Force;
+    * `wait_for` → WaitFor. Anything else fails like serde's
+    * unknown-variant. `param` is None when absent, Some("") for the bare
+    * form. Pair the result with `SplitSealing.sealedSplits(forceCommit =
+    * ...)` — Force marks the tail split's commit trigger. */
+  def parseRefresh(param: Option[String]): CommitType = param match {
+    case None                    => CommitAuto
+    case Some("" | "true")       => CommitForce
+    case Some("false")           => CommitAuto
+    case Some("wait_for")        => CommitWaitFor
+    case Some(other) => throw new IllegalArgumentException(
+      s"unknown variant `$other`, expected one of `false`, `true`, `wait_for`")
+  }
+
   /** es_compat_bulk_handler (elasticsearch_api/bulk.rs:79-143): NDJSON bodies
     * → one row per (action, source) pair, batched per index.
     *

@@ -26,6 +26,16 @@ class SplitSealingSpec extends SparkTestBase {
     assert(out === Set((0L, 4L, "num_docs_limit"), (1L, 4L, "num_docs_limit")))
   }
 
+  test("force commit (?refresh bulk): the partial tail seals on ForceCommit, full splits unchanged") {
+    val out = SplitSealing.sealedSplits(turnsDf(5), col("partition_id"), 4,
+      forceCommit = true)
+      .orderBy("split_seq")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // indexed_split.rs:171 — force names why the IN-PROGRESS split sealed;
+    // the full one still records its num-docs limit
+    assert(out === Seq((0L, 4L, "num_docs_limit"), (1L, 1L, "force_commit")))
+  }
+
   test("two-phase chunked form equals the global-window reference; windows stay chunk-bounded") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

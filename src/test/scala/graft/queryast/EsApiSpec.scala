@@ -175,6 +175,18 @@ class EsApiSpec extends SparkTestBase {
       """could not find indexes matching the IDs ["non-existing-index"]""")
   }
 
+  test("_bulk ?refresh: the backward-compat quirk table maps to commit types") {
+    import EsApi._
+    assert(parseRefresh(None) === CommitAuto)            // absent
+    assert(parseRefresh(Some("")) === CommitForce)       // bare ?refresh
+    assert(parseRefresh(Some("true")) === CommitForce)
+    assert(parseRefresh(Some("false")) === CommitAuto)
+    assert(parseRefresh(Some("wait_for")) === CommitWaitFor)
+    assert(intercept[IllegalArgumentException] {
+      parseRefresh(Some("nope"))
+    }.getMessage === "unknown variant `nope`, expected one of `false`, `true`, `wait_for`")
+  }
+
   test("_search: more than two sort criteria rejected with the reference error") {
     import spark.implicits._
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
